@@ -1,0 +1,338 @@
+"""Grok → regex compiler and compiled-pattern matching.
+
+Driver-side: :class:`GrokRegistry` holds name → grok-pattern-string
+definitions and compiles a grok expression into a single flat regex with
+synthetic unique capture-group names plus an alias map — the same
+observable IR as the reference compiler (algorithm behavior of
+/root/reference/src/lib.rs:307-404, golden-checked byte-for-byte against
+/root/reference/testdata/*).
+
+Executor-side: :class:`CompiledPattern` is a small picklable spec
+``(regex_src, aliases, extracts)``; the actual third-party ``regex``
+pattern object is compiled lazily once per Python worker and cached.
+
+Semantics preserved from the reference (each covered by tests):
+- every expanded placeholder becomes a uniquely named group ``_n_<i>``
+  with an alias-map entry to its user-visible key (alias if present,
+  else pattern name);
+- alias-only mode turns unaliased placeholders into ``(?:`` groups;
+- duplicate keys get ``KEY[1]``, ``KEY[2]``… suffixes
+  (/root/reference/src/lib.rs:361-374);
+- when several groups resolve to the same final key, the
+  highest-numbered group wins (/root/reference/src/onig.rs:23-32);
+- inline definitions ``%{NAME:alias=defn}`` are scoped to the frame that
+  declared them (/root/reference/src/lib.rs:334-345);
+- expansion depth is capped at 1024 (/root/reference/src/lib.rs:223);
+- whole-text match is an unanchored leftmost search; per-field access
+  returns None for non-participating groups, and iteration yields only
+  participating groups in sorted key order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, Optional
+
+import regex as _regex
+
+from grokspark.pattern_parser import (
+    GrokPattern,
+    GrokPatternError,
+    RegularExpression,
+    grok_split,
+)
+from grokspark.patterns import default_patterns
+
+__all__ = [
+    "MAX_RECURSION",
+    "GrokError",
+    "RecursionTooDeep",
+    "CompiledPatternIsEmpty",
+    "DefinitionNotFound",
+    "RegexCompilationFailed",
+    "GenericCompilationFailure",
+    "CompiledPattern",
+    "GrokRegistry",
+]
+
+MAX_RECURSION = 1024
+
+
+class GrokError(Exception):
+    """Base class for grok compilation errors."""
+
+
+class RecursionTooDeep(GrokError):
+    def __init__(self) -> None:
+        super().__init__(f"recursion while compiling reached the limit of {MAX_RECURSION}")
+
+
+class CompiledPatternIsEmpty(GrokError):
+    def __init__(self, pattern: str) -> None:
+        super().__init__(f"pattern {pattern!r} compiled into an empty regex")
+        self.pattern = pattern
+
+
+class DefinitionNotFound(GrokError):
+    def __init__(self, name: str) -> None:
+        super().__init__(f"pattern definition {name!r} not found in the registry")
+        self.name = name
+
+
+class RegexCompilationFailed(GrokError):
+    def __init__(self, detail: str) -> None:
+        super().__init__(f"regex compilation failed: {detail}")
+
+
+class GenericCompilationFailure(GrokError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Compiled pattern (picklable spec + lazy engine compile)
+# ---------------------------------------------------------------------------
+
+# Per-process cache of engine-compiled patterns keyed by
+# (regex source, alias map) — the same regex source can carry different
+# alias maps. On Spark executors each Python worker compiles each
+# distinct pattern once and reuses it across all Arrow batches.
+_ENGINE_CACHE: dict[tuple, "_EnginePattern"] = {}
+
+
+@dataclass(frozen=True)
+class _EnginePattern:
+    pattern: "_regex.Pattern"
+    # final user-visible key -> capture group index (duplicates resolved
+    # to the highest group index, reference rule)
+    names: dict[str, int]
+    sorted_names: tuple[str, ...]
+    indices: tuple[int, ...]  # group indices aligned with sorted_names
+
+
+def _engine_compile(regex_src: str, aliases: dict[str, str]) -> _EnginePattern:
+    cache_key = (regex_src, tuple(sorted(aliases.items())))
+    cached = _ENGINE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    try:
+        pat = _regex.compile(regex_src)
+    except Exception as e:  # noqa: BLE001 — regex raises plain error types
+        raise RegexCompilationFailed(f"{e}:\n{regex_src}") from e
+    names: dict[str, int] = {}
+    for group_name, idx in pat.groupindex.items():
+        key = aliases.get(group_name, group_name)
+        prev = names.get(key)
+        if prev is None or idx > prev:
+            names[key] = idx
+    sorted_names = tuple(sorted(names))
+    engine = _EnginePattern(
+        pattern=pat,
+        names=names,
+        sorted_names=sorted_names,
+        indices=tuple(names[k] for k in sorted_names),
+    )
+    _ENGINE_CACHE[cache_key] = engine
+    return engine
+
+
+@dataclass
+class CompiledPattern:
+    """A compiled grok expression: picklable spec, lazily engine-compiled.
+
+    ``regex_src`` uses ``(?<name>`` group syntax (accepted by the
+    third-party ``regex`` module), matching the reference IR goldens
+    byte-for-byte.
+    """
+
+    regex_src: str
+    aliases: dict[str, str]  # synthetic group name -> user-visible key
+    extracts: dict[str, str]  # user-visible key -> extract type tag
+
+    _engine: Optional[_EnginePattern] = field(
+        default=None, repr=False, compare=False
+    )
+
+    def __getstate__(self):  # keep the spec picklable; drop engine state
+        return (self.regex_src, self.aliases, self.extracts)
+
+    def __setstate__(self, state):
+        self.regex_src, self.aliases, self.extracts = state
+        self._engine = None
+
+    @property
+    def engine(self) -> _EnginePattern:
+        if self._engine is None:
+            self._engine = _engine_compile(self.regex_src, self.aliases)
+        return self._engine
+
+    @property
+    def capture_names(self) -> list[str]:
+        """All user-visible capture keys, sorted (reference: BTreeMap order)."""
+        return list(self.engine.sorted_names)
+
+    def get_extract(self, name: str) -> Optional[str]:
+        """The extract type tag recorded for ``name``, if any."""
+        return self.extracts.get(name)
+
+    def search(self, text: str, timeout: Optional[float] = None):
+        """Raw engine search (leftmost, unanchored). Returns a regex
+        match object or None."""
+        if timeout is not None:
+            return self.engine.pattern.search(text, timeout=timeout)
+        return self.engine.pattern.search(text)
+
+    def match_against(self, text: str, timeout: Optional[float] = None) -> Optional[dict[str, str]]:
+        """Match and return ``{key: value}`` for participating captures
+        only (sorted key order), or None if the text does not match at
+        all. This is the reference `Matches.iter()` view."""
+        m = self.search(text, timeout=timeout)
+        if m is None:
+            return None
+        eng = self.engine
+        out: dict[str, str] = {}
+        values = m.group(*eng.indices) if eng.indices else ()
+        if len(eng.indices) == 1:
+            values = (values,)
+        for key, value in zip(eng.sorted_names, values):
+            if value is not None:
+                out[key] = value
+        return out
+
+    def match_get(self, text: str, name: str) -> Optional[str]:
+        """Single-field access: value of ``name`` if the text matches and
+        the group participated, else None."""
+        m = self.search(text)
+        if m is None:
+            return None
+        idx = self.engine.names.get(name)
+        if idx is None:
+            return None
+        return m.group(idx)
+
+
+# ---------------------------------------------------------------------------
+# Registry + compiler
+# ---------------------------------------------------------------------------
+
+
+class GrokRegistry:
+    """A name → grok-pattern-string registry with a grok→regex compiler."""
+
+    def __init__(self, patterns: Optional[dict[str, str]] = None) -> None:
+        self.patterns: dict[str, str] = dict(patterns) if patterns else {}
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def empty(cls) -> "GrokRegistry":
+        return cls()
+
+    @classmethod
+    def with_default_patterns(cls) -> "GrokRegistry":
+        """Registry preloaded with the 319 vendored builtins."""
+        return cls(default_patterns())
+
+    @classmethod
+    def from_iter(cls, pairs: Iterable[tuple[str, str]]) -> "GrokRegistry":
+        reg = cls()
+        for name, pattern in pairs:
+            reg.add_pattern(name, pattern)
+        return reg
+
+    def add_pattern(self, name: str, pattern: str) -> None:
+        """Insert or overwrite a pattern definition."""
+        self.patterns[name] = pattern
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.patterns
+
+    def __len__(self) -> int:
+        return len(self.patterns)
+
+    # -- compilation ---------------------------------------------------
+
+    def compile(self, pattern: str, with_alias_only: bool = False) -> CompiledPattern:
+        """Compile a grok expression to a ready-to-match CompiledPattern.
+
+        ``with_alias_only=True`` keeps only explicitly aliased
+        placeholders as captures (narrower output schema, cheaper
+        bookkeeping — the pipeline default).
+        """
+        regex_src, aliases, extracts = self._compile_regex(pattern, with_alias_only)
+        if not regex_src:
+            raise CompiledPatternIsEmpty(pattern)
+        compiled = CompiledPattern(regex_src, aliases, extracts)
+        compiled.engine  # force engine compile now so errors surface here
+        return compiled
+
+    def _compile_regex(
+        self, pattern: str, with_alias_only: bool
+    ) -> tuple[str, dict[str, str], dict[str, str]]:
+        """Expand all placeholders into one flat regex.
+
+        Iterative DFS over lexer frames. Each frame is the component
+        stream of one pattern body plus the inline-definition overrides
+        declared *within that body* (visible to later placeholders of
+        the same body only). Every frame contributes a closing ``)``
+        when exhausted; the outermost frame's closer is dropped at the
+        end, mirroring the reference's emit discipline so the golden IR
+        files compare byte-equal.
+        """
+        out: list[str] = []
+        aliases: dict[str, str] = {}
+        key_counts: dict[str, int] = {}
+        extracts: dict[str, str] = {}
+
+        Frame = tuple[Iterator, dict[str, str]]
+        stack: list[Frame] = [(grok_split(pattern), {})]
+        index = 0
+
+        while stack:
+            it, overrides = stack[-1]
+            try:
+                comp = next(it, None)
+            except GrokPatternError as e:
+                raise GenericCompilationFailure(str(e)) from e
+            if comp is None:
+                stack.pop()
+                out.append(")")
+                continue
+
+            if isinstance(comp, RegularExpression):
+                out.append(comp.string)
+            elif isinstance(comp, GrokPattern):
+                if comp.definition:
+                    # Inline definition: register in the *current* frame's
+                    # scope, then expand its body.
+                    overrides[comp.name] = comp.definition
+                    stack.append((grok_split(comp.definition), {}))
+                elif comp.name in overrides:
+                    stack.append((grok_split(overrides[comp.name]), {}))
+                else:
+                    body = self.patterns.get(comp.name)
+                    if body is None:
+                        raise DefinitionNotFound(comp.name)
+                    stack.append((grok_split(body), {}))
+
+                if with_alias_only and not comp.alias:
+                    out.append("(?:")
+                else:
+                    group = f"_n_{index}"
+                    index += 1
+                    orig_key = comp.alias or comp.name
+                    count = key_counts.get(orig_key, 0)
+                    key = orig_key if count == 0 else f"{orig_key}[{count}]"
+                    key_counts[orig_key] = count + 1
+                    if count > 0 and key in key_counts:
+                        raise GenericCompilationFailure(f"alias {key} already exists")
+                    if comp.extract:
+                        extracts[key] = comp.extract
+                    aliases[group] = key
+                    out.append(f"(?<{group}>")
+
+            if len(stack) > MAX_RECURSION:
+                raise RecursionTooDeep()
+
+        regex_src = "".join(out)
+        # drop the outermost frame's closing paren
+        return regex_src[:-1], aliases, extracts
