@@ -1,0 +1,317 @@
+"""The north-rule job: scan → detokenize+parse → enrich → route →
+fan-out sinks → per-sink aggregate counts, with skew salting, lineage
+metrics, and checkpoint/resume.
+
+Dataflow (all Catalyst-planned except the fused parse kernel):
+
+1. **Scan** the tokenized-sequence table (parquet here; Iceberg on a
+   real cluster — the reader only needs ``doc_id, tokens, n_tok,
+   source``, and Catalyst prunes columns + pushes the source filter
+   into the scan).
+2. **Enrich**: broadcast hash-join against the small ``routes`` dim
+   (source → route, pattern_name, sink_path). Rows with no dim entry
+   are unroutable and land in a dead-letter sink.
+3. **Salted repartition**: the corpus is deliberately skewed (one hot
+   source ~70%). AQE only splits skew at shuffle *joins*, not before a
+   UDF stage, so we pre-spread with a salt derived from ``doc_id``:
+   ``repartition(N, source, pmod(xxhash64(doc_id), SALT_BUCKETS))``.
+   Hot sources fan out over SALT_BUCKETS partitions while small sources
+   stay clustered (fewer output files per sink).
+4. **Parse**: per route-pattern, the fused tokens→map pandas UDF
+   (grokspark.udfs) — one JVM↔Python Arrow round trip per batch,
+   regex compiled once per worker. ``matched = fields IS NOT NULL``
+   reproduces the reference's Option<Matches> exactly. The original
+   ``tokens`` column passes through untouched (per-row token-array
+   equality invariant — never re-encoded from text).
+5. **Fan-out sinks**: per (route, pattern) parquet sink, written via a
+   staging directory + atomic rename so a crashed unit never leaves
+   half-committed rows (the Iceberg-snapshot-commit analogue; with an
+   Iceberg catalog configured the same unit maps to one append commit).
+6. **Counts & lineage**: per-sink (matched/unmatched) counts are
+   computed from the *committed* sink files — not the in-flight
+   DataFrame — so retries can't double-count; a ``_part_id`` column
+   stamped at parse time gives per-partition lineage (rows in/matched
+   per parse partition) without recomputing the parse.
+7. **Resume**: a JSON manifest under the output dir records completed
+   units; a rerun skips them (idempotent).
+
+At 10^12-sequence scale each *unit* here becomes (pattern, input
+partition-range) instead of just pattern, and sink commits + counts
+come from Iceberg snapshot metadata instead of file re-reads; the unit
+structure, staging-commit discipline, and manifest keying are the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grokspark import datagen
+from grokspark.compiler import CompiledPattern, GrokRegistry
+from grokspark.udfs import apply_extracts, grok_parse_map_udf
+
+__all__ = ["PipelineConfig", "PipelineResult", "GrokPipeline", "route_match_counts"]
+
+SALT_BUCKETS = 64
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    alias_only: bool = True
+    salt_buckets: int = SALT_BUCKETS
+    # partitions for the parse stage; default 2x cores
+    parse_partitions: Optional[int] = None
+    # per-row regex timeout in seconds (None = reference-parity: unbounded)
+    timeout: Optional[float] = None
+    resume: bool = True
+    # write sinks at all (False = counts-only dry run for benches)
+    write_sinks: bool = True
+
+
+@dataclass
+class PipelineResult:
+    # route -> {"matched": n, "unmatched": n}
+    sink_counts: dict[str, dict[str, int]] = field(default_factory=dict)
+    # (route, pattern_name) -> {"matched": n, "unmatched": n}
+    unit_counts: dict[tuple[str, str], dict[str, int]] = field(default_factory=dict)
+    unroutable_count: int = 0
+    rows_in: int = 0
+    # list of {pattern_name, part_id, rows_in, rows_matched}
+    lineage: list[dict] = field(default_factory=list)
+    skipped_units: list[str] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+
+class _Manifest:
+    """Tiny JSON checkpoint: unit -> completion record. Atomic writes."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.state: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                self.state = json.load(f)
+
+    def done(self, unit: str) -> Optional[dict]:
+        rec = self.state.get(unit)
+        return rec if rec and rec.get("status") == "done" else None
+
+    def mark(self, unit: str, **record) -> None:
+        self.state[unit] = {"status": "done", **record}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+def route_match_counts(
+    spark: SparkSession,
+    seq_df: DataFrame,
+    registry: Optional[GrokRegistry] = None,
+    alias_only: bool = True,
+    salt_buckets: int = SALT_BUCKETS,
+    parse_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Transform-only composition of the pipeline: enrich + parse all
+    routed sources and return per-(route, matched) counts. No sinks, no
+    actions — callers trigger execution. This is the flagship query."""
+    registry = registry or GrokRegistry.with_default_patterns()
+    routes = F.broadcast(datagen.routes_df(spark))
+    enriched = seq_df.join(routes, "source", "left")
+
+    nparts = parse_partitions or spark.sparkContext.defaultParallelism * 2
+    exprs = datagen.pattern_exprs()
+    parts = []
+    for pattern_name, expr in sorted(exprs.items()):
+        compiled = registry.compile(expr, with_alias_only=alias_only)
+        parse = grok_parse_map_udf(compiled, from_tokens=True)
+        part = (
+            enriched.filter(F.col("pattern_name") == pattern_name)
+            .repartition(
+                nparts,
+                F.col("source"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
+            )
+            .withColumn("fields", parse(F.col("tokens")))
+            .select(
+                "route",
+                F.col("fields").isNotNull().alias("matched"),
+            )
+        )
+        parts.append(part)
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy("route", "matched")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("route", "matched")
+    )
+
+
+class GrokPipeline:
+    """Executable parse→enrich→route→aggregate job with sinks+resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        registry: Optional[GrokRegistry] = None,
+        routes: Optional[list[dict]] = None,
+        pattern_exprs: Optional[dict[str, str]] = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.registry = registry or GrokRegistry.with_default_patterns()
+        self.routes = routes if routes is not None else datagen.routes_rows()
+        self.pattern_exprs = (
+            pattern_exprs if pattern_exprs is not None else datagen.pattern_exprs()
+        )
+        self._compiled: dict[str, CompiledPattern] = {}
+
+    def compiled(self, pattern_name: str) -> CompiledPattern:
+        if pattern_name not in self._compiled:
+            expr = self.pattern_exprs[pattern_name]
+            self._compiled[pattern_name] = self.registry.compile(
+                expr, with_alias_only=self.config.alias_only
+            )
+        return self._compiled[pattern_name]
+
+    # -- paths ----------------------------------------------------------
+
+    def _sink_dir(self, route: str, pattern_name: str) -> str:
+        return os.path.join(self.config.out_dir, "sinks", route, pattern_name)
+
+    def _staging_dir(self, unit: str) -> str:
+        return os.path.join(self.config.out_dir, "_staging", unit)
+
+    # -- run --------------------------------------------------------------
+
+    def run(self, seq_df: DataFrame) -> PipelineResult:
+        cfg = self.config
+        t0 = time.monotonic()
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        manifest = _Manifest(os.path.join(cfg.out_dir, "manifest.json"))
+        result = PipelineResult()
+
+        routes_df = F.broadcast(self.spark.createDataFrame(self.routes))
+        enriched = seq_df.join(routes_df, "source", "left")
+
+        # --- dead-letter: rows whose source has no route -----------------
+        unit = "unroutable"
+        rec = manifest.done(unit) if cfg.resume else None
+        if rec:
+            result.unroutable_count = rec["rows"]
+            result.skipped_units.append(unit)
+        else:
+            unroutable = enriched.filter(F.col("route").isNull()).select(
+                "doc_id", "tokens", "n_tok", "source"
+            )
+            if cfg.write_sinks:
+                n = self._commit(unroutable, unit, os.path.join(cfg.out_dir, "unroutable"))
+            else:
+                n = unroutable.count()
+            result.unroutable_count = n
+            manifest.mark(unit, rows=n)
+
+        # --- per-pattern parse + route + sink -----------------------------
+        nparts = cfg.parse_partitions or self.spark.sparkContext.defaultParallelism * 2
+        route_of = {r["pattern_name"]: r["route"] for r in self.routes}
+
+        for pattern_name in sorted(self.pattern_exprs):
+            route = route_of[pattern_name]
+            unit = f"{route}/{pattern_name}"
+            rec = manifest.done(unit) if cfg.resume else None
+            if rec:
+                result.unit_counts[(route, pattern_name)] = rec["counts"]
+                result.lineage.extend(rec.get("lineage", []))
+                result.skipped_units.append(unit)
+                continue
+
+            compiled = self.compiled(pattern_name)
+            parse = grok_parse_map_udf(
+                compiled, from_tokens=True, timeout=cfg.timeout
+            )
+            slice_df = (
+                enriched.filter(F.col("pattern_name") == pattern_name)
+                .repartition(
+                    nparts,
+                    F.col("source"),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)),
+                )
+                .withColumn("fields", parse(F.col("tokens")))
+                .withColumn("matched", F.col("fields").isNotNull())
+                .withColumn("_part_id", F.spark_partition_id())
+            )
+            slice_df = apply_extracts(slice_df, compiled, "fields")
+
+            sink_dir = self._sink_dir(route, pattern_name)
+            if cfg.write_sinks:
+                self._commit(slice_df, unit, sink_dir, count=False)
+                committed = self.spark.read.parquet(sink_dir)
+            else:
+                committed = slice_df
+
+            # counts + lineage from the committed data (retry-safe)
+            agg = (
+                committed.groupBy("matched", "_part_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            counts = {"matched": 0, "unmatched": 0}
+            lineage_map: dict[int, dict] = {}
+            for row in agg:
+                counts["matched" if row["matched"] else "unmatched"] += row["n"]
+                li = lineage_map.setdefault(
+                    row["_part_id"],
+                    {
+                        "pattern_name": pattern_name,
+                        "part_id": row["_part_id"],
+                        "rows_in": 0,
+                        "rows_matched": 0,
+                    },
+                )
+                li["rows_in"] += row["n"]
+                if row["matched"]:
+                    li["rows_matched"] += row["n"]
+            lineage = sorted(lineage_map.values(), key=lambda d: d["part_id"])
+            result.unit_counts[(route, pattern_name)] = counts
+            result.lineage.extend(lineage)
+            manifest.mark(unit, counts=counts, lineage=lineage)
+
+        # --- roll up per-sink counts --------------------------------------
+        for (route, _pat), counts in result.unit_counts.items():
+            sink = result.sink_counts.setdefault(route, {"matched": 0, "unmatched": 0})
+            sink["matched"] += counts["matched"]
+            sink["unmatched"] += counts["unmatched"]
+        result.rows_in = result.unroutable_count + sum(
+            c["matched"] + c["unmatched"] for c in result.unit_counts.values()
+        )
+        result.elapsed_sec = time.monotonic() - t0
+        return result
+
+    def _commit(
+        self, df: DataFrame, unit: str, final_dir: str, count: bool = True
+    ) -> int:
+        """Write df to a staging dir, then atomically publish to
+        final_dir. Local-FS analogue of an Iceberg snapshot commit: a
+        crashed run leaves only staging garbage, never a partial sink."""
+        staging = self._staging_dir(unit)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        os.replace(staging, final_dir)
+        if count:
+            return self.spark.read.parquet(final_dir).count()
+        return -1

@@ -1,0 +1,236 @@
+"""Vectorized executor-side kernels: detokenize + grok parse as
+Arrow-batched pandas UDFs.
+
+The reference matches row-at-a-time in native code
+(/root/reference/src/lib.rs:100-105). Our scale lever is batching: the
+JVM ships Arrow record batches to a Python worker, the worker runs the
+compiled regex per row inside the batch, and one Arrow batch comes
+back. The compiled pattern travels as a small picklable spec inside the
+UDF closure and is engine-compiled once per worker process
+(see grokspark.compiler._ENGINE_CACHE).
+
+Two parse representations:
+
+- ``grok_parse_map_udf``  -> ``map<string,string>`` of *participating*
+  captures only, NULL on whole-line no-match. This mirrors the
+  reference API exactly (``match_against`` returning ``Option<Matches>``,
+  ``Matches::iter()`` yielding participating groups) and is the scale
+  path: a 163-capture pattern with 9 participating groups ships 9 map
+  entries, not 163 mostly-null struct fields.
+
+- ``grok_parse_struct_udf`` -> one nullable StringType field per capture
+  key plus a ``_matched`` boolean. Schema-on-parse for downstream SQL.
+
+Both have fused token-array variants that decode ``array<int32>``
+(byte-level vocab) to text inside the same kernel, so detokenize+parse
+costs a single JVM<->Python round trip and the rendered line never
+materializes in the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from grokspark.compiler import CompiledPattern
+
+__all__ = [
+    "detokenize_udf",
+    "grok_parse_map_udf",
+    "grok_parse_struct_udf",
+    "grok_match_udf",
+    "parse_struct_type",
+    "apply_extracts",
+    "EXTRACT_CASTS",
+]
+
+# Reference extract tags observed in the pattern corpus (`int`, `float`,
+# e.g. /root/reference/patterns/aws.pattern:11) mapped to Spark types.
+# Unknown tags (e.g. `text`) stay strings.
+EXTRACT_CASTS: dict[str, T.DataType] = {
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+}
+
+MATCHED_FIELD = "_matched"
+
+
+def _tokens_to_text(tokens) -> Optional[str]:
+    """array<int32> byte-level token ids -> str (UTF-8)."""
+    if tokens is None:
+        return None
+    return np.asarray(tokens, dtype=np.int64).astype(np.uint8).tobytes().decode(
+        "utf-8", errors="replace"
+    )
+
+
+def detokenize_udf() -> "pandas_udf":
+    """``array<int32> -> string`` render UDF (byte-level vocab)."""
+
+    @pandas_udf(T.StringType())
+    def detokenize(tokens: pd.Series) -> pd.Series:
+        return tokens.map(_tokens_to_text)
+
+    return detokenize
+
+
+def _match_dict(compiled: CompiledPattern, text: Optional[str], timeout: Optional[float]):
+    """One row: participating-captures dict, or None on no-match."""
+    if text is None:
+        return None
+    m = compiled.search(text, timeout=timeout)
+    if m is None:
+        return None
+    eng = compiled.engine
+    if not eng.indices:
+        return {}
+    values = m.group(*eng.indices)
+    if len(eng.indices) == 1:
+        values = (values,)
+    return {k: v for k, v in zip(eng.sorted_names, values) if v is not None}
+
+
+def grok_parse_map_udf(
+    compiled: CompiledPattern,
+    from_tokens: bool = False,
+    timeout: Optional[float] = None,
+) -> "pandas_udf":
+    """Parse UDF returning ``map<string,string>`` of participating
+    captures (NULL = whole-line no-match, the reference's None).
+
+    ``from_tokens=True`` makes the input ``array<int32>`` and fuses the
+    detokenize step into the same kernel (one Arrow round trip).
+    ``timeout`` (seconds) bounds catastrophic backtracking per row; a
+    timeout is treated as no-match (documented deviation, off by
+    default for reference parity).
+    """
+    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+
+    if from_tokens:
+
+        @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+        def parse(tokens: pd.Series) -> pd.Series:
+            return tokens.map(
+                lambda t: _match_dict(spec, _tokens_to_text(t), timeout)
+            )
+
+        return parse
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse(lines: pd.Series) -> pd.Series:
+        return lines.map(lambda s: _match_dict(spec, s, timeout))
+
+    return parse
+
+
+def parse_struct_type(compiled: CompiledPattern) -> T.StructType:
+    """Output schema of the struct parse UDF: one nullable string field
+    per capture key (sorted, reference BTreeMap order) + ``_matched``."""
+    fields = [
+        T.StructField(name, T.StringType(), nullable=True)
+        for name in compiled.capture_names
+    ]
+    fields.append(T.StructField(MATCHED_FIELD, T.BooleanType(), nullable=False))
+    return T.StructType(fields)
+
+
+def grok_parse_struct_udf(
+    compiled: CompiledPattern,
+    from_tokens: bool = False,
+    timeout: Optional[float] = None,
+) -> "pandas_udf":
+    """Parse UDF returning a struct column: every capture key as a
+    nullable string field (NULL = group did not participate or line did
+    not match) plus ``_matched`` boolean."""
+    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+    schema = parse_struct_type(compiled)
+    names = list(compiled.capture_names)
+    none_row = tuple([None] * len(names)) + (False,)
+
+    def _batch(texts: Iterable[Optional[str]]) -> pd.DataFrame:
+        eng = spec.engine
+        indices = eng.indices
+        single = len(indices) == 1
+        rows = []
+        for s in texts:
+            m = spec.search(s, timeout=timeout) if s is not None else None
+            if m is None:
+                rows.append(none_row)
+            elif not indices:
+                rows.append((True,))
+            else:
+                vals = m.group(*indices)
+                rows.append(((vals,) if single else vals) + (True,))
+        return pd.DataFrame(rows, columns=names + [MATCHED_FIELD])
+
+    if from_tokens:
+
+        @pandas_udf(schema)
+        def parse(tokens: pd.Series) -> pd.DataFrame:
+            return _batch(_tokens_to_text(t) for t in tokens)
+
+        return parse
+
+    @pandas_udf(schema)
+    def parse(lines: pd.Series) -> pd.DataFrame:
+        return _batch(lines)
+
+    return parse
+
+
+def grok_match_udf(
+    compiled: CompiledPattern,
+    from_tokens: bool = False,
+    timeout: Optional[float] = None,
+) -> "pandas_udf":
+    """Boolean match test (no capture extraction) — cheapest kernel for
+    pure routing/filtering."""
+    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+
+    def _one(s: Optional[str]) -> bool:
+        return s is not None and spec.search(s, timeout=timeout) is not None
+
+    if from_tokens:
+
+        @pandas_udf(T.BooleanType())
+        def matches(tokens: pd.Series) -> pd.Series:
+            return pd.Series([_one(_tokens_to_text(t)) for t in tokens])
+
+        return matches
+
+    @pandas_udf(T.BooleanType())
+    def matches(lines: pd.Series) -> pd.Series:
+        return lines.map(_one)
+
+    return matches
+
+
+def apply_extracts(
+    df: DataFrame,
+    compiled: CompiledPattern,
+    fields_col: str = "fields",
+) -> DataFrame:
+    """Materialize typed columns for the pattern's extract tags
+    (reference: the caller-side cast driven by Pattern::get_extract,
+    /root/reference/src/lib.rs:115-117). JVM-side columnar casts —
+    no Python involved.
+
+    For a map fields column: ``element_at(fields, key)``; for a struct
+    fields column: ``fields.getField(key)``.
+    """
+    is_map = isinstance(df.schema[fields_col].dataType, T.MapType)
+    col = F.col(fields_col)
+    out = df
+    for key, tag in sorted(compiled.extracts.items()):
+        dtype = EXTRACT_CASTS.get(tag)
+        if dtype is None:
+            continue
+        raw: Column = F.element_at(col, key) if is_map else col.getField(key)
+        out = out.withColumn(key, raw.cast(dtype))
+    return out
