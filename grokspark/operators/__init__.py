@@ -1,0 +1,35 @@
+"""Training-data-pipeline operators over document/embedding tables.
+
+All hot paths are built-in ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage-codegen'd); Python appears only in the
+explicitly-marked multimodal decode stubs.
+"""
+
+from grokspark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from grokspark.operators.similarity import ann_brute_force_topk, lsh_bucketed_topk
+from grokspark.operators.textops import (
+    fingerprint,
+    lang_id,
+    quality_scores,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "embedding_cosine_pairs",
+    "ann_brute_force_topk",
+    "lsh_bucketed_topk",
+    "token_count",
+    "quality_scores",
+    "lang_id",
+    "fingerprint",
+]

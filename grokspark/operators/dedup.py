@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine. Entirely built-in DataFrame expressions
+except SimHash's bit-vote (a vectorized pandas UDF over numpy).
+
+Scale notes (the design constraint is 10^9+ documents):
+- exact dedup is one hash-aggregate on a fingerprint (shuffle on the
+  fingerprint, not the text);
+- MinHash+LSH shuffles (band_id, band_hash) — candidate generation
+  never compares all pairs; the verify step joins only bucket
+  collisions;
+- brute-force pair ops (jaccard_pairs, embedding_cosine_pairs) are
+  quadratic *within a blocking key* — they exist as the exactness
+  baseline for tests/oracles and for small blocks after LSH.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "exact_dedup",
+    "ngrams",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "embedding_cosine_pairs",
+    "cosine",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+    One hash aggregate; at scale, group on md5(text) instead of text to
+    shrink shuffle width — both shown here (fp is the shuffle key)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.withColumn("_fp", F.md5(normalized))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    # documents shorter than n words get their whole text as one shingle
+    short = F.array(F.array_join(w, " "))
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(short))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
+    threshold). Quadratic within a block — pass ``block_col`` (e.g.
+    lang, or an LSH bucket) to bound the pair space at scale."""
+    g = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a = g.select(
+        F.col("id").alias("id_a"),
+        *( [F.col("_blk")] if block_col else [] ),
+        F.col("grams").alias("grams_a"),
+    )
+    b = g.select(
+        F.col("id").alias("id_b"),
+        *( [F.col("_blk").alias("_blk_b")] if block_col else [] ),
+        F.col("grams").alias("grams_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, cond & (F.col("_blk") == F.col("_blk_b")) if block_col else cond)
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    text: Column, n: int = 3, num_hashes: int = 128
+) -> Column:
+    """MinHash signature: per seed, the min xxhash64 over the shingle
+    set. array<bigint> of length num_hashes; all JVM-side."""
+    grams = ngrams(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-verified.
+
+    signature -> split into ``bands`` bands of ``num_hashes//bands``
+    rows -> bucket on (band_id, hash(band)) -> pairs within buckets ->
+    exact Jaccard verify >= threshold. The only shuffles are the bucket
+    groupBy and the final verify join; no all-pairs comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        ngrams(F.col(text_col), n).alias("grams"),
+        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "grams", "band.band_id", "band.band_hash")
+
+    # candidate pairs: distinct (id_a < id_b) sharing any band bucket
+    left = banded.select(
+        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    right = banded.select(
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+        F.col("id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "grams_a", "grams_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        cands.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word hashes (vectorized numpy pandas UDF:
+    the per-bit vote matrix doesn't express well in SQL). Near-dup
+    candidates are rows whose signatures differ in few bits."""
+    @pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = (t or "").lower().split()
+            if not ws:
+                out.append(0)
+                continue
+            # FNV-1a per word -> bit votes
+            hs = np.array([_fnv1a(w) for w in ws], dtype=np.uint64)
+            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = bits_m.sum(axis=0) * 2 - len(ws)
+            sig = np.uint64(0)
+            for i, v in enumerate(votes):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double via
+    zip_with + aggregate (JVM-side, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine >= threshold.
+    Brute-force within a block (pass an LSH bucket / label as
+    ``block_col`` at scale)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("_blk_b")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, cond & (F.col("_blk") == F.col("_blk_b")) if block_col else cond)
+    return (
+        joined.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
