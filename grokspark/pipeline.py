@@ -11,12 +11,20 @@ Dataflow (all Catalyst-planned except the fused parse kernel):
 2. **Enrich**: broadcast hash-join against the small ``routes`` dim
    (source → route, pattern_name, sink_path). Rows with no dim entry
    are unroutable and land in a dead-letter sink.
-3. **Salted repartition**: the corpus is deliberately skewed (one hot
-   source ~70%). AQE only splits skew at shuffle *joins*, not before a
-   UDF stage, so we pre-spread with a salt derived from ``doc_id``:
-   ``repartition(N, source, pmod(xxhash64(doc_id), SALT_BUCKETS))``.
-   Hot sources fan out over SALT_BUCKETS partitions while small sources
-   stay clustered (fewer output files per sink).
+3. **Skew**: the corpus is deliberately skewed (one hot source ~70%).
+   The *primary* skew control is the scan splitter: size-balanced input
+   splits (spark.sql.files.maxPartitionBytes / Iceberg split planning)
+   give every parse task the same byte volume regardless of how hot
+   keys cluster in files. An explicit salted repartition
+   (``repartition(N, source, pmod(xxhash64(doc_id), salt_buckets))``)
+   is available via ``salt_buckets`` but OFF by default: a row shuffle
+   immediately before an Arrow/Python stage forces row-by-row
+   UnsafeRow->Arrow conversion instead of the columnar scan->Arrow fast
+   path — measured 10-15x slower end-to-end on this corpus (4M rows,
+   local[16]: 6.8s unshuffled vs 67-102s shuffled, tmpfs shuffle dirs,
+   so not disk). Reach for salting only when per-row parse cost varies
+   wildly by key AND keys are file-clustered; prefer re-splitting the
+   input otherwise. AQE skew-join splitting stays on for the join side.
 4. **Parse**: per route-pattern, the fused tokens→map pandas UDF
    (grokspark.udfs) — one JVM↔Python Arrow round trip per batch,
    regex compiled once per worker. ``matched = fields IS NOT NULL``
@@ -55,7 +63,7 @@ from pyspark.sql import functions as F
 
 from grokspark import datagen
 from grokspark.compiler import CompiledPattern, GrokRegistry
-from grokspark.udfs import apply_extracts, grok_parse_map_udf
+from grokspark.udfs import apply_extracts, grok_parse_map_udf, grok_parse_router_udf
 
 __all__ = ["PipelineConfig", "PipelineResult", "GrokPipeline", "route_match_counts"]
 
@@ -66,14 +74,22 @@ SALT_BUCKETS = 64
 class PipelineConfig:
     out_dir: str
     alias_only: bool = True
-    salt_buckets: int = SALT_BUCKETS
-    # partitions for the parse stage; default 2x cores
+    # None (default) = no pre-parse shuffle; see module docstring
+    salt_buckets: Optional[int] = None
+    # partitions for the parse stage; default = one task wave
+    # (parse is a Python-UDF stage: partitions beyond the worker pool
+    # cause worker churn — measured 3.4x slower at 2x cores locally)
     parse_partitions: Optional[int] = None
     # per-row regex timeout in seconds (None = reference-parity: unbounded)
     timeout: Optional[float] = None
     resume: bool = True
     # write sinks at all (False = counts-only dry run for benches)
     write_sinks: bool = True
+    # single_pass=True: one scan + one multi-pattern parse + one
+    # dynamic-partition write (fastest; one commit for all sinks).
+    # False (default): one unit per (route, pattern) with independent
+    # staging commits and per-unit resume (finer-grained durability).
+    single_pass: bool = False
 
 
 @dataclass
@@ -117,41 +133,42 @@ def route_match_counts(
     seq_df: DataFrame,
     registry: Optional[GrokRegistry] = None,
     alias_only: bool = True,
-    salt_buckets: int = SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
     parse_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Transform-only composition of the pipeline: enrich + parse all
     routed sources and return per-(route, matched) counts. No sinks, no
-    actions — callers trigger execution. This is the flagship query."""
+    actions — callers trigger execution. This is the flagship query.
+
+    Single-pass plan: one scan, one broadcast join, one multi-pattern
+    parse UDF, one partial+final count aggregation. Per-pattern dispatch
+    happens inside the kernel (dict lookup) instead of as N filtered
+    plan branches (N scans). No pre-parse shuffle by default — the scan
+    splitter balances bytes per task; pass ``salt_buckets`` to force a
+    salted repartition for file-clustered pathological skew (costs a
+    row->Arrow conversion, see module docstring)."""
     registry = registry or GrokRegistry.with_default_patterns()
     routes = F.broadcast(datagen.routes_df(spark))
-    enriched = seq_df.join(routes, "source", "left")
+    enriched = seq_df.join(routes, "source", "left").filter(
+        F.col("route").isNotNull()
+    )
 
-    nparts = parse_partitions or spark.sparkContext.defaultParallelism * 2
-    exprs = datagen.pattern_exprs()
-    parts = []
-    for pattern_name, expr in sorted(exprs.items()):
-        compiled = registry.compile(expr, with_alias_only=alias_only)
-        parse = grok_parse_map_udf(compiled, from_tokens=True)
-        part = (
-            enriched.filter(F.col("pattern_name") == pattern_name)
-            .repartition(
-                nparts,
-                F.col("source"),
-                F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
-            )
-            .withColumn("fields", parse(F.col("tokens")))
-            .select(
-                "route",
-                F.col("fields").isNotNull().alias("matched"),
-            )
+    nparts = parse_partitions or spark.sparkContext.defaultParallelism
+    compiled_by_name = {
+        name: registry.compile(expr, with_alias_only=alias_only)
+        for name, expr in datagen.pattern_exprs().items()
+    }
+    parse = grok_parse_router_udf(compiled_by_name, from_tokens=True)
+    if salt_buckets:
+        enriched = enriched.repartition(
+            nparts,
+            F.col("source"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
         )
-        parts.append(part)
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
     return (
-        unioned.groupBy("route", "matched")
+        enriched.withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
+        .select("route", F.col("fields").isNotNull().alias("matched"))
+        .groupBy("route", "matched")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("route", "matched")
     )
@@ -223,8 +240,12 @@ class GrokPipeline:
             manifest.mark(unit, rows=n)
 
         # --- per-pattern parse + route + sink -----------------------------
-        nparts = cfg.parse_partitions or self.spark.sparkContext.defaultParallelism * 2
+        nparts = cfg.parse_partitions or self.spark.sparkContext.defaultParallelism
         route_of = {r["pattern_name"]: r["route"] for r in self.routes}
+
+        if cfg.single_pass:
+            self._run_single_pass(enriched, nparts, manifest, result, route_of)
+            return self._finish(result, t0)
 
         for pattern_name in sorted(self.pattern_exprs):
             route = route_of[pattern_name]
@@ -240,14 +261,15 @@ class GrokPipeline:
             parse = grok_parse_map_udf(
                 compiled, from_tokens=True, timeout=cfg.timeout
             )
-            slice_df = (
-                enriched.filter(F.col("pattern_name") == pattern_name)
-                .repartition(
+            slice_df = enriched.filter(F.col("pattern_name") == pattern_name)
+            if cfg.salt_buckets:
+                slice_df = slice_df.repartition(
                     nparts,
                     F.col("source"),
                     F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)),
                 )
-                .withColumn("fields", parse(F.col("tokens")))
+            slice_df = (
+                slice_df.withColumn("fields", parse(F.col("tokens")))
                 .withColumn("matched", F.col("fields").isNotNull())
                 .withColumn("_part_id", F.spark_partition_id())
             )
@@ -287,7 +309,10 @@ class GrokPipeline:
             result.lineage.extend(lineage)
             manifest.mark(unit, counts=counts, lineage=lineage)
 
-        # --- roll up per-sink counts --------------------------------------
+        return self._finish(result, t0)
+
+    def _finish(self, result: PipelineResult, t0: float) -> PipelineResult:
+        """Roll up per-sink counts from unit counts."""
         for (route, _pat), counts in result.unit_counts.items():
             sink = result.sink_counts.setdefault(route, {"matched": 0, "unmatched": 0})
             sink["matched"] += counts["matched"]
@@ -297,6 +322,96 @@ class GrokPipeline:
         )
         result.elapsed_sec = time.monotonic() - t0
         return result
+
+    def _run_single_pass(
+        self,
+        enriched: DataFrame,
+        nparts: int,
+        manifest: "_Manifest",
+        result: PipelineResult,
+        route_of: dict[str, str],
+    ) -> None:
+        """One scan, one multi-pattern parse, one dynamic-partition
+        write into sinks/route=<r>/pattern_name=<p>/. Fields stay in the
+        raw string map (typed extract casts are per-pattern and belong
+        to per-sink consumers in this mode)."""
+        cfg = self.config
+        unit = "singlepass"
+        rec = manifest.done(unit) if cfg.resume else None
+        if rec:
+            for key, counts in rec["counts"].items():
+                route, pattern_name = key.split("|", 1)
+                result.unit_counts[(route, pattern_name)] = counts
+            result.lineage.extend(rec.get("lineage", []))
+            result.skipped_units.append(unit)
+            return
+
+        compiled = {
+            name: self.compiled(name) for name in sorted(self.pattern_exprs)
+        }
+        parse = grok_parse_router_udf(compiled, from_tokens=True, timeout=cfg.timeout)
+        parsed = enriched.filter(F.col("route").isNotNull())
+        if cfg.salt_buckets:
+            parsed = parsed.repartition(
+                nparts,
+                F.col("source"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)),
+            )
+        parsed = (
+            parsed.withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
+            .withColumn("matched", F.col("fields").isNotNull())
+            .withColumn("_part_id", F.spark_partition_id())
+        )
+
+        sink_root = os.path.join(cfg.out_dir, "sinks")
+        if cfg.write_sinks:
+            staging = self._staging_dir(unit)
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            (
+                parsed.write.mode("overwrite")
+                .partitionBy("route", "pattern_name")
+                .parquet(staging)
+            )
+            if os.path.exists(sink_root):
+                shutil.rmtree(sink_root)
+            os.makedirs(os.path.dirname(sink_root), exist_ok=True)
+            os.replace(staging, sink_root)
+            committed = self.spark.read.parquet(sink_root)
+        else:
+            committed = parsed
+
+        agg = (
+            committed.groupBy("route", "pattern_name", "matched", "_part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        lineage_map: dict[tuple, dict] = {}
+        for row in agg:
+            key = (row["route"], row["pattern_name"])
+            counts = result.unit_counts.setdefault(key, {"matched": 0, "unmatched": 0})
+            counts["matched" if row["matched"] else "unmatched"] += row["n"]
+            li = lineage_map.setdefault(
+                (row["pattern_name"], row["_part_id"]),
+                {
+                    "pattern_name": row["pattern_name"],
+                    "part_id": row["_part_id"],
+                    "rows_in": 0,
+                    "rows_matched": 0,
+                },
+            )
+            li["rows_in"] += row["n"]
+            if row["matched"]:
+                li["rows_matched"] += row["n"]
+        lineage = sorted(
+            lineage_map.values(), key=lambda d: (d["pattern_name"], d["part_id"])
+        )
+        result.lineage.extend(lineage)
+        manifest.mark(
+            unit,
+            counts={f"{r}|{p}": c for (r, p), c in result.unit_counts.items()},
+            lineage=lineage,
+        )
 
     def _commit(
         self, df: DataFrame, unit: str, final_dir: str, count: bool = True

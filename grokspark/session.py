@@ -55,7 +55,10 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # keep scan parallelism >= cores on small local inputs; a real
+        # cluster scan uses the format's split planning (128MB default)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

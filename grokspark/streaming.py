@@ -1,0 +1,130 @@
+"""Structured Streaming face of the pipeline.
+
+The batch north-rule job is transform-compatible with streaming: the
+same broadcast enrich + router-parse UDF runs under ``readStream``.
+What streaming adds and this module covers:
+
+- **event time + watermark**: sequences carry no timestamp, so event
+  time derives deterministically from the row index embedded in
+  ``doc_id`` (``{source}-{i:08d}`` -> t0 + i seconds). Windowed
+  per-route counts tolerate late rows up to the watermark.
+- **custom stateful operator**: streaming first-seen dedup via
+  ``applyInPandasWithState`` — state = seen doc_id set per key group,
+  drops replayed rows across micro-batches (the at-least-once sink
+  guard a real ingest needs).
+
+Tests drive both with ``trigger(availableNow=True)`` over file sources
+and a memory sink, then check exact equality with the batch pipeline /
+pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from grokspark import datagen
+from grokspark.compiler import GrokRegistry
+from grokspark.udfs import grok_parse_router_udf
+
+__all__ = ["read_sequence_stream", "stream_windowed_route_counts", "stream_first_seen"]
+
+SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+EVENT_T0 = "2024-01-01 00:00:00"
+
+
+def read_sequence_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """File-source stream of sequence parquet files."""
+    reader = spark.readStream.schema(SEQUENCES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Deterministic event time: t0 + row-index seconds (index parsed
+    from the doc_id suffix)."""
+    idx = F.substring_index("doc_id", "-", -1).cast("long")
+    return df.withColumn(
+        "event_ts",
+        F.to_timestamp(F.lit(EVENT_T0)) + F.make_dt_interval(secs=idx.cast("double")),
+    )
+
+
+def stream_windowed_route_counts(
+    stream_df: DataFrame,
+    registry: Optional[GrokRegistry] = None,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    alias_only: bool = True,
+) -> DataFrame:
+    """Watermarked tumbling-window per-(route, matched) counts — the
+    streaming twin of pipeline.route_match_counts."""
+    spark = stream_df.sparkSession
+    registry = registry or GrokRegistry.with_default_patterns()
+    routes = F.broadcast(datagen.routes_df(spark))
+    compiled = {
+        name: registry.compile(expr, with_alias_only=alias_only)
+        for name, expr in datagen.pattern_exprs().items()
+    }
+    parse = grok_parse_router_udf(compiled, from_tokens=True)
+    enriched = (
+        with_event_time(stream_df)
+        .join(routes, "source", "left")
+        .filter(F.col("route").isNotNull())
+        .withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
+        .withColumn("matched", F.col("fields").isNotNull())
+    )
+    return (
+        enriched.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "route", "matched")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "route",
+            "matched",
+            "n",
+        )
+    )
+
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+_FIRST_SEEN_OUT = "doc_id string, source string, n_tok int"
+
+
+def stream_first_seen(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: emit each doc_id only the first time it
+    is ever seen (exactly-once projection over an at-least-once
+    stream). State per source = set of seen doc_ids.
+
+    At real scale the state key would be (source, hash-bucket) and the
+    seen-set a bloom filter checkpointed by the state store; the
+    operator shape (applyInPandasWithState) is identical.
+    """
+
+    def dedup(
+        key, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            fresh = pdf[~pdf["doc_id"].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=["doc_id"])
+            seen.update(fresh["doc_id"])
+            if len(fresh):
+                yield fresh[["doc_id", "source", "n_tok"]]
+        state.update((list(seen),))
+
+    return stream_df.groupBy("source").applyInPandasWithState(
+        dedup,
+        outputStructType=_FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

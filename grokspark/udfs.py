@@ -44,6 +44,7 @@ __all__ = [
     "detokenize_udf",
     "grok_parse_map_udf",
     "grok_parse_struct_udf",
+    "grok_parse_router_udf",
     "grok_match_udf",
     "parse_struct_type",
     "apply_extracts",
@@ -65,8 +66,11 @@ def _tokens_to_text(tokens) -> Optional[str]:
     """array<int32> byte-level token ids -> str (UTF-8)."""
     if tokens is None:
         return None
-    return np.asarray(tokens, dtype=np.int64).astype(np.uint8).tobytes().decode(
-        "utf-8", errors="replace"
+    return (
+        np.asarray(tokens)
+        .astype(np.uint8, copy=False)
+        .tobytes()
+        .decode("utf-8", errors="replace")
     )
 
 
@@ -180,6 +184,67 @@ def grok_parse_struct_udf(
     @pandas_udf(schema)
     def parse(lines: pd.Series) -> pd.DataFrame:
         return _batch(lines)
+
+    return parse
+
+
+def grok_parse_router_udf(
+    compiled_by_name: dict[str, CompiledPattern],
+    from_tokens: bool = True,
+    timeout: Optional[float] = None,
+) -> "pandas_udf":
+    """Single-pass multi-pattern parse: ``(pattern_name, tokens|line) ->
+    map<string,string>``. One scan + one shuffle for the whole corpus
+    instead of one per pattern — each row is parsed with the pattern its
+    route dim entry names. Rows whose pattern_name is NULL/unknown get a
+    NULL map (unroutable)."""
+    specs = {
+        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
+        for name, c in compiled_by_name.items()
+    }
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse(pattern_names: pd.Series, payload: pd.Series) -> pd.Series:
+        # engine-compile lazily once per worker, then keep the hot
+        # tuple (search fn, group indices, sorted keys) out of the loop
+        runtime: dict = {}
+
+        def rt_for(name):
+            rt = runtime.get(name)
+            if rt is None:
+                spec = specs.get(name)
+                if spec is None:
+                    runtime[name] = False
+                    return False
+                eng = spec.engine
+                rt = (eng.pattern.search, eng.indices, eng.sorted_names)
+                runtime[name] = rt
+            return rt
+
+        out = []
+        append = out.append
+        decode = _tokens_to_text
+        for name, data in zip(pattern_names, payload):
+            rt = rt_for(name)
+            if rt is False:
+                append(None)
+                continue
+            search, indices, keys = rt
+            text = decode(data) if from_tokens else data
+            if text is None:
+                append(None)
+                continue
+            m = search(text, timeout=timeout) if timeout else search(text)
+            if m is None:
+                append(None)
+            elif not indices:
+                append({})
+            else:
+                values = m.group(*indices)
+                if len(indices) == 1:
+                    values = (values,)
+                append({k: v for k, v in zip(keys, values) if v is not None})
+        return pd.Series(out, dtype=object)
 
     return parse
 

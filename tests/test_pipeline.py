@@ -132,3 +132,28 @@ def test_typed_extract_columns_in_elb_sink(spark, seq_df, tmp_path):
     assert schema["request_processing_time"] == "double"
     ok = elb.filter(F.col("matched"))
     assert ok.filter(F.col("clientport").isNull()).count() == 0
+
+
+def test_single_pass_mode_counts_match(spark, seq_df, corpus, oracle, tmp_path):
+    """single_pass=True: one scan + dynamic-partition fan-out must
+    produce identical per-sink counts, token equality, and resume."""
+    out_dir = str(tmp_path / "sp")
+    cfg = PipelineConfig(out_dir=out_dir, parse_partitions=8, single_pass=True)
+    result = GrokPipeline(spark, cfg).run(seq_df)
+    assert result.sink_counts == oracle["sink_counts"]
+    assert result.unroutable_count == oracle["unroutable"]
+
+    input_tokens = {row["doc_id"]: row["tokens"] for row in corpus}
+    sinks = spark.read.parquet(f"{out_dir}/sinks")
+    rows = sinks.select("doc_id", "tokens").collect()
+    assert len(rows) == N_ROWS - oracle["unroutable"]
+    for r in rows:
+        assert r["tokens"] == input_tokens[r["doc_id"]]
+
+    # partition pruning: reading one route dir only touches that route
+    web = spark.read.parquet(f"{out_dir}/sinks/route=web")
+    assert web.count() == sum(oracle["sink_counts"]["web"].values())
+
+    second = GrokPipeline(spark, cfg).run(seq_df)
+    assert "singlepass" in second.skipped_units
+    assert second.sink_counts == result.sink_counts

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): lexer round-trips, tokenize ∘
+detokenize identity, compiler/matcher agreement on randomized inputs."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grokspark import GrokRegistry, grok_split
+from grokspark.pattern_parser import GrokPattern, GrokPatternError, RegularExpression
+
+NAME = st.text(string.ascii_letters + string.digits + "_", min_size=1, max_size=12)
+ALIAS = st.text(string.ascii_letters + string.digits + "_-[].", min_size=1, max_size=12)
+DEFN = st.text(
+    st.characters(blacklist_characters="{}", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@st.composite
+def placeholder(draw) -> str:
+    name = draw(NAME)
+    alias = draw(st.one_of(st.none(), ALIAS))
+    extract = draw(st.one_of(st.none(), ALIAS))
+    defn = draw(st.one_of(st.none(), DEFN))
+    s = "%{" + name
+    if alias is not None or extract is not None:
+        s += ":" + (alias or "")
+    if extract is not None:
+        s += ":" + extract
+    if defn is not None:
+        s += "=" + defn
+    s += "}"
+    # the grammar disallows an opened-but-empty alias slot with no extract
+    if alias is None and extract is None and defn is None:
+        return "%{" + name + "}"
+    return s
+
+
+LITERAL = st.text(
+    st.characters(blacklist_characters="%{}", blacklist_categories=("Cs",)),
+    max_size=15,
+)
+
+
+@given(st.lists(st.one_of(LITERAL, placeholder()), min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_lexer_roundtrip_reconstructs_input(parts):
+    """Any interleaving of safe literals and legal placeholders lexes
+    without error and the component spans reconstruct the input."""
+    s = "".join(parts)
+    try:
+        comps = list(grok_split(s))
+    except GrokPatternError:
+        # an alias slot opened empty (alias drawn as None, extract absent,
+        # defn present like "%{n:=d}") is legal-by-construction above, so
+        # any error would be a bug — but literals can end with '%' and glue
+        # to a following '{', changing the parse. Only allow errors then.
+        assert "%" in s
+        return
+    rebuilt = "".join(
+        c.string if isinstance(c, RegularExpression) else c.pattern for c in comps
+    )
+    assert rebuilt == s
+    for c in comps:
+        assert s[c.start : c.end] == (
+            c.string if isinstance(c, RegularExpression) else c.pattern
+        )
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_tokenize_detokenize_identity(text):
+    """Byte-level vocab: decode(encode(x)) == x for any unicode text."""
+    tokens = list(text.encode("utf-8"))
+    assert all(0 <= t <= 255 for t in tokens)
+    assert bytes(tokens).decode("utf-8") == text
+
+
+@given(st.text(string.printable, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_greedydata_always_matches(s):
+    """%{GREEDYDATA:msg} matches any single-line input with msg == the
+    full first line (reference GREEDYDATA = .*)."""
+    p = GrokRegistry.with_default_patterns().compile("%{GREEDYDATA:msg}")
+    m = p.match_against(s)
+    assert m is not None
+    first_line = s.split("\n", 1)[0].split("\r", 1)[0]
+    assert m["msg"] == first_line
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_word_capture_agrees_with_split(words):
+    """%{WORD:w} captures exactly the first whitespace token."""
+    s = " ".join(words)
+    p = GrokRegistry.with_default_patterns().compile("%{WORD:w}", with_alias_only=True)
+    assert p.match_against(s) == {"w": words[0]}

@@ -1,0 +1,99 @@
+"""Structured Streaming tests: windowed route counts equal the batch
+pipeline; stateful first-seen dedup drops replays across micro-batches."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from grokspark.datagen import iter_rows
+
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return list(iter_rows(N_ROWS))
+
+
+@pytest.fixture()
+def input_dir(spark, corpus, tmp_path):
+    """Corpus split across two parquet files (two stream micro-batches
+    with maxFilesPerTrigger=1)."""
+    d = tmp_path / "stream_in"
+    half = N_ROWS // 2
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame(corpus[:half], schema).coalesce(1).write.parquet(
+        str(d / "p0")
+    )
+    spark.createDataFrame(corpus[half:], schema).coalesce(1).write.parquet(
+        str(d / "p1")
+    )
+    return str(d) + "/*/"
+
+
+def test_stream_windowed_counts_match_batch(spark, corpus, input_dir, tmp_path):
+    from grokspark.pipeline import route_match_counts
+    from grokspark.streaming import read_sequence_stream, stream_windowed_route_counts
+
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger=1)
+    counts = stream_windowed_route_counts(stream, window="1 minute", watermark="30 seconds")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("route_counts_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT route, matched, SUM(n) AS n FROM route_counts_stream GROUP BY route, matched"
+    ).collect()
+    stream_totals = {(r["route"], r["matched"]): r["n"] for r in got}
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    batch = route_match_counts(spark, spark.createDataFrame(corpus, schema)).collect()
+    batch_totals = {(r["route"], r["matched"]): r["n"] for r in batch}
+    assert stream_totals == batch_totals
+
+    # windows are deterministic (event time = t0 + index seconds):
+    # N_ROWS=400 rows -> indices 0..399s -> windows 0..6 (1-minute)
+    windows = spark.sql("SELECT DISTINCT win_start FROM route_counts_stream").collect()
+    assert 1 <= len(windows) <= 7
+
+
+def test_stream_first_seen_dedup(spark, corpus, tmp_path):
+    """Replayed rows (same doc_id in both micro-batches) must be emitted
+    exactly once."""
+    from grokspark.streaming import read_sequence_stream, stream_first_seen
+
+    d = tmp_path / "replay_in"
+    half = N_ROWS // 2
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    # second file replays the last 50 rows of the first + 50 new ones
+    spark.createDataFrame(corpus[:half], schema).coalesce(1).write.parquet(str(d / "p0"))
+    spark.createDataFrame(corpus[half - 50 : half + 50], schema).coalesce(1).write.parquet(
+        str(d / "p1")
+    )
+
+    stream = read_sequence_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    dedup = stream_first_seen(stream)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("first_seen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT doc_id FROM first_seen_stream").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate emission"
+    expected = {r["doc_id"] for r in corpus[: half + 50]}
+    assert set(ids) == expected
