@@ -288,6 +288,32 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_union_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users seen in error events UNION users with large values,
+    deduplicated."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("value") > 150).select("user_id")
+    return a.unionByName(b).distinct()
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (top-k by aggregate, deterministic tie-break)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 0).cast("long").alias("spend"))
+        .orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
 def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -437,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_customers": q_semi_join_active_customers,
         "window_top_orders": q_window_top_orders,
         "rollup_orders": q_rollup_orders,
+        "cube_lineitem": q_cube_lineitem,
+        "union_distinct_actors": q_union_distinct_actors,
+        "topk_customers": q_topk_customers,
         "events_type_stats": q_events_type_stats,
         "events_props_k": q_events_props_k,
         "events_sessionize": q_events_sessionize,
@@ -535,6 +564,23 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "union_distinct_actors": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'error'
+              UNION ALL
+              SELECT user_id FROM events WHERE value > 150)
+        """,
+        "topk_customers": """
+            SELECT o_custkey, spend FROM (
+              SELECT o_custkey,
+                     CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS spend
+              FROM orders GROUP BY o_custkey
+              ORDER BY spend DESC, o_custkey ASC LIMIT 10)
         """,
         "events_type_stats": """
             SELECT event_type, COUNT(*) AS n,

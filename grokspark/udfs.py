@@ -217,7 +217,8 @@ def grok_parse_router_udf(
                     runtime[name] = False
                     return False
                 eng = spec.engine
-                rt = (eng.pattern.search, eng.indices, eng.sorted_names)
+                pat = eng.timeout_pattern() if timeout else eng.pattern
+                rt = (pat.search, eng.indices, eng.sorted_names)
                 runtime[name] = rt
             return rt
 

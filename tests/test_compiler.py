@@ -265,3 +265,51 @@ def test_compiled_pattern_is_picklable():
     )
     assert p2.match_against(line) == p.match_against(line)
     assert p2.match_against(line)["verb"] == "GET"
+
+
+def test_engine_parity_sre_vs_regex():
+    """The auto-selected fast engine (stdlib re) must agree with the
+    reference engine (regex module) on every corpus line of every route
+    pattern (match success AND every captured field)."""
+    import grokspark.compiler as C
+    from grokspark.datagen import SOURCES, iter_rows
+
+    g = GrokRegistry.with_default_patterns()
+    exprs = {s: e for s, (_w, r, e) in SOURCES.items() if r}
+
+    C._ENGINE_CACHE.clear()
+    old = C._ENGINE_PREF
+    try:
+        C._ENGINE_PREF = "sre"
+        fast = {s: g.compile(e, True) for s, e in exprs.items()}
+        assert all(p.engine.flavor == "sre" for p in fast.values())
+        C._ENGINE_CACHE.clear()
+        C._ENGINE_PREF = "regex"
+        ref = {s: g.compile(e, True) for s, e in exprs.items()}
+        assert all(p.engine.flavor == "regex" for p in ref.values())
+    finally:
+        C._ENGINE_PREF = old
+        C._ENGINE_CACHE.clear()
+
+    checked = 0
+    for row in iter_rows(1500):
+        s = row["source"]
+        if s not in exprs:
+            continue
+        line = bytes(row["tokens"]).decode()
+        assert fast[s].match_against(line) == ref[s].match_against(line), (s, line)
+        checked += 1
+    assert checked > 1000
+
+
+def test_all_builtins_compile_under_auto_engine():
+    """Every builtin compiles under the auto engine (sre fast path or
+    regex fallback) and reports a flavor."""
+    g = GrokRegistry.with_default_patterns()
+    flavors = {"sre": 0, "regex": 0}
+    for name in g.patterns:
+        p = g.compile("%{" + name + "}")
+        flavors[p.engine.flavor] += 1
+    assert sum(flavors.values()) == len(g.patterns)
+    # the overwhelming majority should take the fast path
+    assert flavors["sre"] > 250, flavors

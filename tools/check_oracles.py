@@ -21,7 +21,8 @@ def normalize(rows, columns):
     for row in rows:
         d = dict(zip(columns, row))
         out.append(tuple(_norm(d[c]) for c in sorted(columns)))
-    return sorted(out)
+    # rows may contain NULLs (e.g. rollup/cube totals) — sort None-safely
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 def _norm(v):
