@@ -58,9 +58,10 @@ def cmd_check(args) -> int:
 def cmd_pipeline(args) -> int:
     from grokspark.pipeline import GrokPipeline, PipelineConfig
     from grokspark.session import get_spark
+    from grokspark.sources import read_sequences
 
     spark = get_spark(app_name="grokspark-pipeline", cores=args.cores)
-    seq = spark.read.parquet(args.input)
+    seq = read_sequences(spark, args.input)
     cfg = PipelineConfig(
         out_dir=args.out,
         single_pass=args.single_pass,

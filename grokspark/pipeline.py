@@ -141,12 +141,19 @@ def route_match_counts(
     actions — callers trigger execution. This is the flagship query.
 
     Single-pass plan: one scan, one broadcast join, one multi-pattern
-    parse UDF, one partial+final count aggregation. Per-pattern dispatch
-    happens inside the kernel (dict lookup) instead of as N filtered
-    plan branches (N scans). No pre-parse shuffle by default — the scan
-    splitter balances bytes per task; pass ``salt_buckets`` to force a
-    salted repartition for file-clustered pathological skew (costs a
-    row->Arrow conversion, see module docstring)."""
+    parse kernel, one partial+final count aggregation. Per-pattern
+    dispatch happens inside the kernel (dict lookup) instead of as N
+    filtered plan branches (N scans). The kernel runs via mapInArrow:
+    the token lists cross the JVM->Python boundary as one flat Arrow
+    buffer + offsets, decoded with a single slice per row (the pandas
+    bridge would materialize a numpy array per row, which costs more
+    than the regex match itself — measured +20% end-to-end). No
+    pre-parse shuffle by default — the scan splitter balances bytes per
+    task; pass ``salt_buckets`` to force a salted repartition for
+    file-clustered pathological skew (costs a row->Arrow conversion,
+    see module docstring)."""
+    from grokspark.udfs import grok_parse_arrow_kernel
+
     registry = registry or GrokRegistry.with_default_patterns()
     routes = F.broadcast(datagen.routes_df(spark))
     enriched = seq_df.join(routes, "source", "left").filter(
@@ -158,16 +165,16 @@ def route_match_counts(
         name: registry.compile(expr, with_alias_only=alias_only)
         for name, expr in datagen.pattern_exprs().items()
     }
-    parse = grok_parse_router_udf(compiled_by_name, from_tokens=True)
     if salt_buckets:
         enriched = enriched.repartition(
             nparts,
             F.col("source"),
             F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)),
         )
+    kernel, ddl = grok_parse_arrow_kernel(compiled_by_name)
     return (
-        enriched.withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
-        .select("route", F.col("fields").isNotNull().alias("matched"))
+        enriched.select("route", "pattern_name", "tokens")
+        .mapInArrow(kernel, ddl)
         .groupBy("route", "matched")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("route", "matched")

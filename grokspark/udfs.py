@@ -45,6 +45,7 @@ __all__ = [
     "grok_parse_map_udf",
     "grok_parse_struct_udf",
     "grok_parse_router_udf",
+    "grok_parse_arrow_kernel",
     "grok_match_udf",
     "parse_struct_type",
     "apply_extracts",
@@ -248,6 +249,115 @@ def grok_parse_router_udf(
         return pd.Series(out, dtype=object)
 
     return parse
+
+
+def grok_parse_arrow_kernel(
+    compiled_by_name: dict[str, CompiledPattern],
+    timeout: Optional[float] = None,
+    with_fields: bool = True,
+):
+    """mapInArrow kernel: the fastest parse path.
+
+    The pandas bridge materializes one numpy array per row for the
+    ``tokens`` column (list<int32>), which costs more than the regex
+    match itself. Arrow batches expose the same data as ONE flat values
+    buffer + offsets, so this kernel decodes every line with a single
+    buffer slice per row and never builds per-row arrays.
+
+    Input batch columns:  route, pattern_name, tokens (list<int32>)
+    Output batch columns: route string, matched boolean
+                          [+ fields map<string,string> if with_fields]
+
+    Returns ``(kernel, ddl_schema_string)`` for
+    ``DataFrame.mapInArrow(kernel, ddl)``.
+    """
+    import pyarrow as pa
+
+    specs = {
+        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
+        for name, c in compiled_by_name.items()
+    }
+    out_fields = [
+        pa.field("route", pa.string()),
+        pa.field("matched", pa.bool_()),
+    ]
+    ddl = "route string, matched boolean"
+    if with_fields:
+        out_fields.append(pa.field("fields", pa.map_(pa.string(), pa.string())))
+        ddl += ", fields map<string,string>"
+    out_schema = pa.schema(out_fields)
+
+    def kernel(batches):
+        runtime: dict = {}
+
+        def rt_for(name):
+            rt = runtime.get(name)
+            if rt is None:
+                spec = specs.get(name)
+                if spec is None:
+                    runtime[name] = False
+                    return False
+                eng = spec.engine
+                pat = eng.timeout_pattern() if timeout else eng.pattern
+                rt = (pat.search, eng.indices, eng.sorted_names)
+                runtime[name] = rt
+            return rt
+
+        for batch in batches:
+            tokens = batch.column(batch.schema.get_field_index("tokens"))
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            # flatten list<int32> -> one contiguous byte buffer + offsets
+            offsets = tokens.offsets.to_numpy(zero_copy_only=False)
+            flat = (
+                tokens.values.to_numpy(zero_copy_only=False)
+                .astype(np.uint8, copy=False)
+                .tobytes()
+            )
+            names = batch.column("pattern_name").to_pylist()
+            routes = batch.column("route").to_pylist()
+
+            matched = np.zeros(len(batch), dtype=bool)
+            fields_out = [] if with_fields else None
+            for i, name in enumerate(names):
+                rt = rt_for(name)
+                if rt is False:
+                    if with_fields:
+                        fields_out.append(None)
+                    continue
+                search, indices, keys = rt
+                text = flat[offsets[i] : offsets[i + 1]].decode(
+                    "utf-8", errors="replace"
+                )
+                m = (
+                    search(text, timeout=timeout) if timeout else search(text)
+                )
+                if m is None:
+                    if with_fields:
+                        fields_out.append(None)
+                    continue
+                matched[i] = True
+                if with_fields:
+                    if indices:
+                        values = m.group(*indices)
+                        if len(indices) == 1:
+                            values = (values,)
+                        fields_out.append(
+                            [
+                                (k, v)
+                                for k, v in zip(keys, values)
+                                if v is not None
+                            ]
+                        )
+                    else:
+                        fields_out.append([])
+
+            cols = [pa.array(routes, pa.string()), pa.array(matched)]
+            if with_fields:
+                cols.append(pa.array(fields_out, pa.map_(pa.string(), pa.string())))
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return kernel, ddl
 
 
 def grok_match_udf(

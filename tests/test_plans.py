@@ -50,12 +50,13 @@ def test_route_counts_plan_shape(spark):
     plan = explain_str(route_match_counts(spark, seq))
     tree = plan.split("\n\n")[0]  # the numbered operator tree
     assert "BroadcastHashJoin" in tree
-    assert "ArrowEvalPython" in tree
+    assert ("MapInArrow" in tree) or ("ArrowEvalPython" in tree)
     # partial+final count aggregation
     assert tree.count("HashAggregate") == 2
     # the subtree feeding the Arrow parse (everything below it in the
     # tree) must contain no shuffle — only the broadcast exchange
-    below_parse = tree.split("ArrowEvalPython", 1)[1]
+    node = "MapInArrow" if "MapInArrow" in tree else "ArrowEvalPython"
+    below_parse = tree.split(node, 1)[1]
     shuffles_below = [
         l for l in below_parse.splitlines() if "Exchange" in l and "BroadcastExchange" not in l
     ]
