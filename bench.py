@@ -109,7 +109,7 @@ def run_bench(
         t0 = time.monotonic()
         GrokPipeline(
             spark,
-            PipelineConfig(out_dir=sink_dir, parse_partitions=cpus, resume=False),
+            PipelineConfig(out_dir=sink_dir, parse_partitions=cpus, resume=False, single_pass=True),
         ).run(spark.read.parquet(pipe_path))
         queries["pipeline_sinks"] = round(time.monotonic() - t0, 3)
     finally:
