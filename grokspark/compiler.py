@@ -129,14 +129,61 @@ _POSIX_CLASSES = {
 def _to_sre_source(regex_src: str) -> str:
     """Translate the compiler's IR dialect to stdlib-re syntax:
     ``(?<name>`` -> ``(?P<name>`` (preserving lookbehinds) and POSIX
-    bracket classes -> explicit ranges."""
-    src = regex_src.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace(
-        "(?P<!", "(?<!"
-    )
-    if "[:" in src:
-        for posix, ranges in _POSIX_CLASSES.items():
-            src = src.replace(posix, ranges)
-    return src
+    bracket classes -> explicit ranges.
+
+    Context-aware: a single pass tracks escapes and bracket-class state,
+    so literal occurrences of these sequences keep their reference
+    (``regex``-module) semantics — ``[(?<]`` stays a character class of
+    those four literals, and a bare ``[:digit:]`` outside any enclosing
+    class stays a set of the literal chars ``:digt`` (the regex module
+    only treats POSIX classes specially *inside* a set)."""
+    out: list[str] = []
+    i, n = 0, len(regex_src)
+    in_class = False
+    while i < n:
+        c = regex_src[i]
+        if c == "\\" and i + 1 < n:
+            out.append(regex_src[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "[" and regex_src.startswith("[:", i):
+                end = regex_src.find(":]", i + 2)
+                if end != -1:
+                    repl = _POSIX_CLASSES.get(regex_src[i : end + 2])
+                    if repl is not None:
+                        out.append(repl)
+                        i = end + 2
+                        continue
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            # leading ^ negation, then a literal ] immediately after the
+            # opener (or after ^) is part of the class, not its end
+            if i < n and regex_src[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and regex_src[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if (
+            c == "("
+            and regex_src.startswith("(?<", i)
+            and not regex_src.startswith(("(?<=", "(?<!"), i)
+        ):
+            out.append("(?P<")
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 @dataclass(frozen=True)
@@ -148,12 +195,21 @@ class _EnginePattern:
     names: dict[str, int]
     sorted_names: tuple[str, ...]
     indices: tuple[int, ...]  # group indices aligned with sorted_names
+    regex_src: str = ""  # compiler IR source (reference dialect)
     # the reference engine pattern (regex module), compiled on demand
     # when a per-call timeout is requested (sre has no timeout support)
     ref_pattern: object = None
 
     def timeout_pattern(self):
-        return self.ref_pattern if self.ref_pattern is not None else self.pattern
+        """The engine pattern whose ``search`` accepts ``timeout=``.
+        Always the ``regex``-module pattern — sre has no timeout support
+        — compiled lazily here when the fast path (or a forced
+        GROKSPARK_ENGINE=sre) skipped it at engine-compile time."""
+        if self.flavor == "regex":
+            return self.pattern
+        if self.ref_pattern is None:
+            object.__setattr__(self, "ref_pattern", _regex.compile(self.regex_src))
+        return self.ref_pattern
 
 
 def _compile_preferred(regex_src: str):
@@ -200,6 +256,7 @@ def _engine_compile(regex_src: str, aliases: dict[str, str]) -> _EnginePattern:
         names=names,
         sorted_names=sorted_names,
         indices=tuple(names[k] for k in sorted_names),
+        regex_src=regex_src,
         ref_pattern=ref,
     )
     _ENGINE_CACHE[cache_key] = engine
@@ -256,8 +313,13 @@ class CompiledPattern:
     def match_against(self, text: str, timeout: Optional[float] = None) -> Optional[dict[str, str]]:
         """Match and return ``{key: value}`` for participating captures
         only (sorted key order), or None if the text does not match at
-        all. This is the reference `Matches.iter()` view."""
-        m = self.search(text, timeout=timeout)
+        all. This is the reference `Matches.iter()` view. A per-row
+        timeout expiry is treated as no-match (use ``search`` directly
+        to observe the raised ``TimeoutError``)."""
+        try:
+            m = self.search(text, timeout=timeout)
+        except TimeoutError:
+            return None
         if m is None:
             return None
         eng = self.engine
@@ -301,7 +363,7 @@ class GrokRegistry:
 
     @classmethod
     def with_default_patterns(cls) -> "GrokRegistry":
-        """Registry preloaded with the 319 vendored builtins."""
+        """Registry preloaded with the 320 vendored builtins."""
         return cls(default_patterns())
 
     @classmethod

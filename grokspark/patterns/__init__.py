@@ -5,13 +5,20 @@ directory) at import time with the same rules the reference applies at
 build time (/root/reference/build.rs:15-39): skip blank lines and lines
 starting with ``#``, split each remaining line at the first space into
 ``(NAME, pattern_body)``, sorted by name.
+
+Provenance parity: the reference codegens one documented module per
+pattern file plus a merged set (/root/reference/build.rs:76-97,
+``pub mod patterns``). Here ``patterns_by_file()`` is that per-file
+enumeration and ``default_patterns()`` the merged view; later files
+win on name collisions in the merged view, same as the reference's
+insertion order over sorted file names.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
 
-__all__ = ["default_patterns", "pattern_files"]
+__all__ = ["default_patterns", "pattern_files", "patterns_by_file"]
 
 _PATTERN_DIR = Path(__file__).resolve().parent
 
@@ -21,28 +28,57 @@ def pattern_files() -> list[Path]:
     return sorted(_PATTERN_DIR.glob("*.pattern"))
 
 
-def _load() -> dict[str, str]:
+def _parse_file(path: Path) -> dict[str, str]:
     patterns: dict[str, str] = {}
-    for path in pattern_files():
-        for line in path.read_text(encoding="utf-8").splitlines():
-            if not line or line.startswith("#"):
-                continue
-            name, sep, body = line.partition(" ")
-            if not sep:
-                continue
-            patterns[name] = body
-    return dict(sorted(patterns.items()))
+    for line in path.read_text(encoding="utf-8").splitlines():
+        if not line or line.startswith("#"):
+            continue
+        name, sep, body = line.partition(" ")
+        if not sep:
+            continue
+        patterns[name] = body
+    return patterns
 
 
-_DEFAULTS: dict[str, str] | None = None
+def _load() -> dict[str, dict[str, str]]:
+    return {path.stem: _parse_file(path) for path in pattern_files()}
+
+
+_BY_FILE: dict[str, dict[str, str]] | None = None
+
+
+def _by_file() -> dict[str, dict[str, str]]:
+    global _BY_FILE
+    if _BY_FILE is None:
+        _BY_FILE = _load()
+    return _BY_FILE
+
+
+def patterns_by_file(file: str | None = None) -> dict:
+    """Per-file pattern provenance (reference: the generated per-file
+    modules, /root/reference/build.rs:76-97).
+
+    With ``file`` (a stem like ``"aws"`` or a file name like
+    ``"aws.pattern"``): that file's name -> body dict. Without: the full
+    ``{file_stem: {name: body}}`` mapping."""
+    by_file = _by_file()
+    if file is None:
+        return {stem: dict(pats) for stem, pats in by_file.items()}
+    stem = file.removesuffix(".pattern")
+    if stem not in by_file:
+        raise KeyError(
+            f"no vendored pattern file {file!r}; have {sorted(by_file)}"
+        )
+    return dict(by_file[stem])
 
 
 def default_patterns() -> dict[str, str]:
-    """A fresh copy of the 319 built-in pattern definitions."""
-    global _DEFAULTS
-    if _DEFAULTS is None:
-        _DEFAULTS = _load()
-    return dict(_DEFAULTS)
+    """A fresh copy of the 320 built-in pattern definitions (all files
+    merged; sorted by name like the reference's BTreeMap)."""
+    merged: dict[str, str] = {}
+    for pats in _by_file().values():
+        merged.update(pats)
+    return dict(sorted(merged.items()))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ __all__ = [
     "grok_parse_map_udf",
     "grok_parse_struct_udf",
     "grok_parse_router_udf",
+    "grok_parse_router_status_udf",
     "grok_parse_arrow_kernel",
     "grok_match_udf",
     "parse_struct_type",
@@ -86,10 +87,16 @@ def detokenize_udf() -> "pandas_udf":
 
 
 def _match_dict(compiled: CompiledPattern, text: Optional[str], timeout: Optional[float]):
-    """One row: participating-captures dict, or None on no-match."""
+    """One row: participating-captures dict, or None on no-match.
+    A per-row timeout expiry is treated as no-match (a pathological row
+    must never fail the whole Spark task); use the status kernels to
+    count timeouts distinctly."""
     if text is None:
         return None
-    m = compiled.search(text, timeout=timeout)
+    try:
+        m = compiled.search(text, timeout=timeout)
+    except TimeoutError:
+        return None
     if m is None:
         return None
     eng = compiled.engine
@@ -164,7 +171,10 @@ def grok_parse_struct_udf(
         single = len(indices) == 1
         rows = []
         for s in texts:
-            m = spec.search(s, timeout=timeout) if s is not None else None
+            try:
+                m = spec.search(s, timeout=timeout) if s is not None else None
+            except TimeoutError:
+                m = None
             if m is None:
                 rows.append(none_row)
             elif not indices:
@@ -236,7 +246,10 @@ def grok_parse_router_udf(
             if text is None:
                 append(None)
                 continue
-            m = search(text, timeout=timeout) if timeout else search(text)
+            try:
+                m = search(text, timeout=timeout) if timeout else search(text)
+            except TimeoutError:
+                m = None
             if m is None:
                 append(None)
             elif not indices:
@@ -251,10 +264,85 @@ def grok_parse_router_udf(
     return parse
 
 
+def grok_parse_router_status_udf(
+    compiled_by_name: dict[str, CompiledPattern],
+    from_tokens: bool = True,
+    timeout: Optional[float] = None,
+) -> "pandas_udf":
+    """Router parse with timeout observability: returns
+    ``struct<fields: map<string,string>, timed_out: boolean>``. A row
+    whose regex timed out has ``fields = NULL`` (counts as unmatched,
+    same as the plain router) AND ``timed_out = true``, so pipelines can
+    report timeouts distinctly from genuine no-matches in lineage."""
+    specs = {
+        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
+        for name, c in compiled_by_name.items()
+    }
+    schema = T.StructType(
+        [
+            T.StructField(
+                "fields", T.MapType(T.StringType(), T.StringType()), nullable=True
+            ),
+            T.StructField("timed_out", T.BooleanType(), nullable=False),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def parse(pattern_names: pd.Series, payload: pd.Series) -> pd.DataFrame:
+        runtime: dict = {}
+
+        def rt_for(name):
+            rt = runtime.get(name)
+            if rt is None:
+                spec = specs.get(name)
+                if spec is None:
+                    runtime[name] = False
+                    return False
+                eng = spec.engine
+                pat = eng.timeout_pattern() if timeout else eng.pattern
+                rt = (pat.search, eng.indices, eng.sorted_names)
+                runtime[name] = rt
+            return rt
+
+        fields_out: list = []
+        timed_out: list = []
+        decode = _tokens_to_text
+        for name, data in zip(pattern_names, payload):
+            rt = rt_for(name)
+            text = (decode(data) if from_tokens else data) if rt is not False else None
+            if rt is False or text is None:
+                fields_out.append(None)
+                timed_out.append(False)
+                continue
+            search, indices, keys = rt
+            try:
+                m = search(text, timeout=timeout) if timeout else search(text)
+            except TimeoutError:
+                fields_out.append(None)
+                timed_out.append(True)
+                continue
+            timed_out.append(False)
+            if m is None:
+                fields_out.append(None)
+            elif not indices:
+                fields_out.append({})
+            else:
+                values = m.group(*indices)
+                if len(indices) == 1:
+                    values = (values,)
+                fields_out.append(
+                    {k: v for k, v in zip(keys, values) if v is not None}
+                )
+        return pd.DataFrame({"fields": fields_out, "timed_out": timed_out})
+
+    return parse
+
+
 def grok_parse_arrow_kernel(
     compiled_by_name: dict[str, CompiledPattern],
     timeout: Optional[float] = None,
     with_fields: bool = True,
+    with_status: bool = False,
 ):
     """mapInArrow kernel: the fastest parse path.
 
@@ -285,6 +373,9 @@ def grok_parse_arrow_kernel(
     if with_fields:
         out_fields.append(pa.field("fields", pa.map_(pa.string(), pa.string())))
         ddl += ", fields map<string,string>"
+    if with_status:
+        out_fields.append(pa.field("timed_out", pa.bool_()))
+        ddl += ", timed_out boolean"
     out_schema = pa.schema(out_fields)
 
     def kernel(batches):
@@ -316,12 +407,21 @@ def grok_parse_arrow_kernel(
             )
             names = batch.column("pattern_name").to_pylist()
             routes = batch.column("route").to_pylist()
+            # NULL tokens entries must parse as no-match, not as '' (the
+            # flat buffer slice of a null list element is empty, and
+            # patterns like bare GREEDYDATA match empty text)
+            valid = (
+                tokens.is_valid().to_numpy(zero_copy_only=False)
+                if tokens.null_count
+                else None
+            )
 
             matched = np.zeros(len(batch), dtype=bool)
+            timed = np.zeros(len(batch), dtype=bool) if with_status else None
             fields_out = [] if with_fields else None
             for i, name in enumerate(names):
                 rt = rt_for(name)
-                if rt is False:
+                if rt is False or (valid is not None and not valid[i]):
                     if with_fields:
                         fields_out.append(None)
                     continue
@@ -329,9 +429,16 @@ def grok_parse_arrow_kernel(
                 text = flat[offsets[i] : offsets[i + 1]].decode(
                     "utf-8", errors="replace"
                 )
-                m = (
-                    search(text, timeout=timeout) if timeout else search(text)
-                )
+                try:
+                    m = (
+                        search(text, timeout=timeout) if timeout else search(text)
+                    )
+                except TimeoutError:
+                    if with_status:
+                        timed[i] = True
+                    if with_fields:
+                        fields_out.append(None)
+                    continue
                 if m is None:
                     if with_fields:
                         fields_out.append(None)
@@ -355,6 +462,8 @@ def grok_parse_arrow_kernel(
             cols = [pa.array(routes, pa.string()), pa.array(matched)]
             if with_fields:
                 cols.append(pa.array(fields_out, pa.map_(pa.string(), pa.string())))
+            if with_status:
+                cols.append(pa.array(timed))
             yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return kernel, ddl
@@ -370,7 +479,12 @@ def grok_match_udf(
     spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
 
     def _one(s: Optional[str]) -> bool:
-        return s is not None and spec.search(s, timeout=timeout) is not None
+        if s is None:
+            return False
+        try:
+            return spec.search(s, timeout=timeout) is not None
+        except TimeoutError:
+            return False
 
     if from_tokens:
 
