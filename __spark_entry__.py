@@ -98,6 +98,50 @@ def _grok_oracle_rows() -> dict[str, list[tuple]]:
     }
 
 
+def _grok_text_df(spark: SparkSession) -> DataFrame:
+    """The grok corpus as a (doc_id, source, text) document table —
+    deterministic and sf-independent, so pure-Python VALUES oracles can
+    cover text operators DuckDB cannot express (SimHash, PNG decode)."""
+    from grokspark.datagen import iter_rows
+
+    rows = [
+        (r["doc_id"], r["source"], bytes(r["tokens"]).decode("utf-8"))
+        for r in iter_rows(GROK_N)
+    ]
+    return spark.createDataFrame(rows, schema="doc_id string, source string, text string")
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_oracle_rows() -> list[tuple]:
+    """Pure-Python SimHash band-bucket near-dup pairs over the grok
+    corpus (same algorithm, single process — the independence is in the
+    execution path, exactly like the grok-family oracles)."""
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.dedup import simhash_py
+
+    sigs = [
+        (r["doc_id"], simhash_py(bytes(r["tokens"]).decode("utf-8")) & 0xFFFFFFFFFFFFFFFF)
+        for r in iter_rows(GROK_N)
+    ]
+    buckets: dict[tuple, list] = {}
+    for doc_id, sig in sigs:
+        for b in range(4):
+            buckets.setdefault((b, (sig >> (16 * b)) & 0xFFFF), []).append((doc_id, sig))
+    pairs: dict[tuple, int] = {}
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (da, ua), (db, ub) = members[i], members[j]
+                if da == db:
+                    continue
+                if da > db:
+                    da, db, ua, ub = db, da, ub, ua
+                h = (ua ^ ub).bit_count()
+                if h <= 3:
+                    pairs[(da, db)] = h
+    return sorted((a, b, h) for (a, b), h in pairs.items())
+
+
 def _values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
     """Build `SELECT ... FROM (VALUES ...) t(cols)` with explicit casts."""
     def lit(v):
@@ -361,13 +405,27 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only check; exact-recall parity
-    vs jaccard_pairs is asserted in tests/test_operators.py)."""
+    """MinHash+LSH near-dup pairs, exact-verified. bands=64 (r=2) puts
+    the miss probability for a true pair at s>=0.5 below ~1e-8, so the
+    output EQUALS the exact quadratic baseline and shares its oracle —
+    precision is guaranteed by the verify step, recall by the band
+    count. Candidate generation shuffles only (id, band_id, band_hash);
+    plan-asserted in tests/test_plans.py."""
     from grokspark.operators import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5, n=2
+        _read(spark, sf_dir, "documents"), threshold=0.5, n=2, bands=64
     )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the deterministic corpus: banded
+    candidates (pigeonhole-complete for hamming<=bands-1) + exact
+    popcount verify. Oracle: the same algorithm run single-process in
+    pure Python, embedded as VALUES."""
+    from grokspark.operators import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_grok_text_df(spark), max_hamming=3, bands=4)
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,14 +445,41 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(emb.select("vec_id", "label"), "vec_id").select("vec_id", "label")
 
 
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized LSH index (parquet partitioned by _bucket) for the
+    embeddings table — built once per sf_dir per process."""
+    from grokspark.operators import build_lsh_index
+
+    path = _ANN_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="grokspark_ann_index_")
+        build_lsh_index(
+            _read(spark, sf_dir, "embeddings"), path, n_planes=8, seed=42
+        )
+        _ANN_INDEX_CACHE[sf_dir] = path
+    return path
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only; recall vs brute force asserted in
-    tests)."""
-    from grokspark.operators import lsh_bucketed_topk
+    """LSH-ANN over the MATERIALIZED bucket-partitioned index: the probe
+    filter reaches the scan as PartitionFilters, so only the hamming<=2
+    probe buckets (37 of 256) are read (pruning plan-asserted in
+    tests/test_plans.py). Oracle: DuckDB recomputes the same buckets
+    from the same hyperplanes and takes the exact cosine top-k of the
+    probed rows."""
+    from grokspark.operators import lsh_index_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_bucketed_topk(emb, query, k=10, probe_hamming=2).select("vec_id")
+    index = _ann_index_path(spark, sf_dir)
+    return lsh_index_topk(
+        spark, index, query, k=10, n_planes=8, probe_hamming=2, seed=42
+    ).select("vec_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,16 +519,44 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction plumbing (deterministic stub
-    decode; rows-only)."""
-    from grokspark.operators.multimodal import extract_image_features, payload_df_from_text
+@functools.lru_cache(maxsize=1)
+def _multimodal_oracle_rows() -> list[tuple]:
+    """Single-process reference: fabricate the same deterministic PNGs
+    and decode them with the same pure-stdlib codec."""
+    import hashlib
 
-    payloads = payload_df_from_text(_read(spark, sf_dir, "documents"))
-    feats = extract_image_features(payloads, fake=True)
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.png import fake_png, png_features
+
+    n = sum_w = sum_h = sum_luma = 0
+    sha1s: set[str] = set()
+    for r in iter_rows(GROK_N):
+        text = bytes(r["tokens"]).decode("utf-8")
+        payload = fake_png(r["doc_id"], text)
+        feats = png_features(payload)
+        n += 1
+        sum_w += feats["width"]
+        sum_h += feats["height"]
+        sum_luma += feats["luma_milli"]
+        sha1s.add(hashlib.sha1(payload).hexdigest())
+    return [("image", n, sum_w, sum_h, sum_luma, len(sha1s))]
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, distributed: deterministic PNG payloads
+    rendered per row in mapInPandas, decoded with the pure-stdlib PNG
+    codec (zlib+struct — no external codec), integer-exact luma stats.
+    Oracle: the identical fabricate+decode run single-process, as
+    VALUES."""
+    from grokspark.operators.multimodal import extract_image_features, png_payload_df
+
+    payloads = png_payload_df(_grok_text_df(spark))
+    feats = extract_image_features(payloads, fake=False)
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("luma_milli").alias("sum_luma_milli"),
         F.countDistinct("sha1").alias("n_distinct"),
     )
 
@@ -473,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -489,6 +603,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','for','on']"
+
+def _ann_lsh_oracle_sql(n_planes: int = 8, probe_hamming: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of lsh_index_topk: recompute the sign-LSH bucket
+    per row from the same deterministic hyperplanes (dim 64, seed 42 —
+    the testdata embeddings schema), probe buckets within
+    ``probe_hamming`` bit flips of the query's bucket, exact cosine
+    top-k of the probed rows. Sign margins are ~1e-3 on this corpus, so
+    double-precision dot products agree bit-for-bit across engines."""
+    from grokspark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, seed=42)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(float(x)) for x in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), q AS (
+          SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0
+        )
+        SELECT vec_id FROM (
+          SELECT b.vec_id
+          FROM b, q
+          WHERE bit_count(xor(b.bucket, q.qb)) <= {probe_hamming}
+          ORDER BY list_cosine_similarity(b.embedding, q.qe) DESC, b.vec_id ASC
+          LIMIT {k})
+    """
+
 
 # shared SQL fragments (mirror grokspark.operators formulas exactly)
 _WORDS = "string_split_regex(trim(text), '\\s+')"
@@ -620,6 +765,21 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.grams, b.grams))::DOUBLE
                     / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
         """,
+        # MinHash+LSH with bands=64: recall at s>=0.5 is 1-(1-s^2)^64
+        # >= 1-1e-8, and the verify step is exact, so the output equals
+        # the exact-Jaccard baseline — same oracle.
+        "dedup_minhash_lsh": f"""
+            WITH g AS (
+              SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard
+            FROM g a, g b
+            WHERE a.id < b.id
+              AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
+        """,
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b
@@ -634,6 +794,11 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
               LIMIT 10)
         """,
+        "simhash_pairs": _values_sql(
+            _simhash_oracle_rows(),
+            [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("hamming", "INTEGER")],
+        ),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=8, probe_hamming=2, k=10),
         "text_quality": f"""
             WITH scored AS (
               SELECT lang,
@@ -669,4 +834,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
+        "multimodal_features": _values_sql(
+            _multimodal_oracle_rows(),
+            [
+                ("modality", "VARCHAR"),
+                ("n", "BIGINT"),
+                ("sum_width", "BIGINT"),
+                ("sum_height", "BIGINT"),
+                ("sum_luma_milli", "BIGINT"),
+                ("n_distinct", "BIGINT"),
+            ],
+        ),
     }

@@ -9,10 +9,17 @@ from grokspark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     jaccard_pairs,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
+    simhash_near_dup_pairs,
     simhash_signatures,
 )
-from grokspark.operators.similarity import ann_brute_force_topk, lsh_bucketed_topk
+from grokspark.operators.similarity import (
+    ann_brute_force_topk,
+    build_lsh_index,
+    lsh_bucketed_topk,
+    lsh_index_topk,
+)
 from grokspark.operators.textops import (
     fingerprint,
     lang_id,
@@ -23,10 +30,14 @@ from grokspark.operators.textops import (
 __all__ = [
     "exact_dedup",
     "jaccard_pairs",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
+    "simhash_near_dup_pairs",
     "simhash_signatures",
     "embedding_cosine_pairs",
     "ann_brute_force_topk",
+    "build_lsh_index",
+    "lsh_index_topk",
     "lsh_bucketed_topk",
     "token_count",
     "quality_scores",

@@ -29,8 +29,13 @@ __all__ = [
     "ngrams",
     "jaccard_pairs",
     "minhash_signature",
+    "minhash_signature_from_grams",
+    "minhash_band_buckets",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "simhash_py",
     "embedding_cosine_pairs",
     "cosine",
 ]
@@ -104,12 +109,81 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature: per seed, the min xxhash64 over the shingle
     set. array<bigint> of length num_hashes; all JVM-side."""
-    grams = ngrams(text, n)
+    return minhash_signature_from_grams(ngrams(text, n), num_hashes)
+
+
+def minhash_signature_from_grams(grams: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature from a precomputed shingle-array column."""
     return F.array(
         *[
             F.array_min(F.transform(grams, lambda s: F.xxhash64(s, F.lit(seed))))
             for seed in range(num_hashes)
         ]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band-bucket table: ``(id, band_id, band_hash)`` — one row per
+    (document, band). Deliberately NARROW: at 10^9+ docs the band
+    explode multiplies row count by ``bands``, so nothing wide (grams,
+    signatures, text) may ride it — the shuffle below the candidate
+    self-join moves ~24 bytes/row, not the shingle arrays."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate id-pairs sharing at least one LSH band bucket.
+    The whole stage is hash-narrow: explode ×bands, self-join on
+    (band_id, band_hash), dedupe (id_a, id_b). No gram arrays anywhere
+    in this plan (plan-asserted in tests/test_plans.py)."""
+    banded = minhash_band_buckets(df, n, num_hashes, bands, text_col, id_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -124,59 +198,33 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
-    signature -> split into ``bands`` bands of ``num_hashes//bands``
-    rows -> bucket on (band_id, hash(band)) -> pairs within buckets ->
-    exact Jaccard verify >= threshold. The only shuffles are the bucket
-    groupBy and the final verify join; no all-pairs comparison.
-    """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        ngrams(F.col(text_col), n).alias("grams"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        "grams",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "grams", "band.band_id", "band.band_hash")
+    Three narrow stages, none of which shuffles gram arrays multiplied
+    by the band count:
 
-    # candidate pairs: distinct (id_a < id_b) sharing any band bucket
-    left = banded.select(
-        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
+    1. candidates: band explode + bucket self-join over
+       ``(id, band_id, band_hash)`` only (~24 bytes/row through the
+       ×bands shuffle), then distinct id-pairs;
+    2. gram rejoin: the candidate pairs (tiny relative to the corpus)
+       join the per-document shingle sets back TWICE on id — two narrow
+       joins, each moving every gram array at most once;
+    3. exact verify: true n-gram Jaccard >= threshold.
+
+    Precision is exact (every emitted pair is verified); recall is the
+    LSH collision probability 1-(1-s^r)^b — pick bands/num_hashes for
+    the target threshold (bands=64, num_hashes=128 makes misses at
+    s>=0.5 ~1e-8, used by the driver oracle query)."""
+    cands = minhash_lsh_candidates(df, n, num_hashes, bands, text_col, id_col)
+    grams = df.select(
+        F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("grams")
     )
-    right = banded.select(
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_hash").alias("band_hash_b"),
-        F.col("id").alias("id_b"),
-        F.col("grams").alias("grams_b"),
-    )
-    cands = (
-        left.join(
-            right,
-            (F.col("band_id") == F.col("band_id_b"))
-            & (F.col("band_hash") == F.col("band_hash_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b", "grams_a", "grams_b")
-        .dropDuplicates(["id_a", "id_b"])
+    joined = (
+        cands.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     return (
-        cands.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -215,6 +263,95 @@ def _fnv1a(s: str) -> int:
     for b in s.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: ``(id_a, id_b, hamming)`` with
+    ``hamming <= max_hamming``, EXACT by construction.
+
+    Candidates come from banding the 64-bit signature into ``bands``
+    equal bit-slices and self-joining on (band_id, band_value): by
+    pigeonhole, any pair differing in <= bands-1 bits shares at least
+    one identical band, so for ``max_hamming <= bands - 1`` recall is
+    100% — deterministic, unlike MinHash-LSH's probabilistic bands.
+    Verification is a JVM-side popcount on the XOR. The banded stage
+    carries only (id, band_id, band_val, simhash) — ~32 bytes/row
+    through the xbands shuffle, same narrow-candidate discipline as
+    ``minhash_lsh_candidates``."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, bits).withColumnRenamed(
+        id_col, "id"
+    )
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_py(text: Optional[str], bits: int = 64) -> int:
+    """Pure-Python reference SimHash (signed int64, identical to the
+    Spark UDF bit-for-bit) — drives oracles and tests."""
+    ws = (text or "").lower().split()
+    if not ws:
+        return 0
+    votes = [0] * bits
+    for w in ws:
+        h = _fnv1a(w)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i, v in enumerate(votes):
+        if v > 0:
+            sig |= 1 << i
+    return sig - (1 << bits) if sig >= (1 << (bits - 1)) else sig
 
 
 def cosine(a: Column, b: Column) -> Column:

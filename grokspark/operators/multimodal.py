@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed in Arrow batches via mapInPandas.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (`decode_image` raises NotImplementedError unless
-``fake=True``, which derives deterministic pseudo-features from the
-payload bytes). Everything around the stub — schema, batch iteration,
-partition sizing, column pass-through — is real and tested; swapping in
-Pillow/torchaudio later only replaces the stub body.
+PNG payloads get a REAL decode — the pure-stdlib zlib+struct codec in
+``grokspark.operators.png`` (width/height/integer-exact luma). Other
+formats (JPEG/audio/video) still need codecs this container lacks, so
+they go through a clearly-marked deterministic fake (``fake=True``) or
+raise NotImplementedError; the distributed plumbing — schema, Arrow
+batch iteration, partition sizing, column pass-through — is identical
+for both and fully tested.
 
 Payload-table shape: (item_id string, modality string, payload binary,
 meta struct<mime:string, n_bytes:long>).
@@ -21,32 +22,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["decode_image", "extract_image_features", "payload_df_from_text"]
+from grokspark.operators.png import PNG_MAGIC, fake_png, png_features
+
+__all__ = [
+    "decode_image",
+    "extract_image_features",
+    "payload_df_from_text",
+    "png_payload_df",
+]
 
 FEATURE_SCHEMA = (
     "item_id string, modality string, n_bytes long, "
-    "width int, height int, mean_luma double, sha1 string"
+    "width int, height int, mean_luma double, luma_milli long, sha1 string"
 )
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload into (width, height, mean_luma).
+    """Decode an image payload into (width, height, mean_luma,
+    luma_milli).
 
-    STUB: real decoding needs an image codec not present in this
-    container. ``fake=True`` produces deterministic pseudo-features
-    from the bytes (stable across runs/processes) so the distributed
-    plumbing is testable end-to-end.
-    """
+    PNG payloads (signature-detected) decode for real via the stdlib
+    codec. For other formats: ``fake=True`` produces deterministic
+    pseudo-features from the bytes (stable across runs/processes) so
+    the distributed plumbing stays testable end-to-end; ``fake=False``
+    raises NotImplementedError (JPEG etc. need codecs not present in
+    this container)."""
+    if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return png_features(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for deterministic pseudo-decode"
+            "only PNG decodes natively here; other image codecs are not "
+            "available in this environment — pass fake=True for a "
+            "deterministic pseudo-decode"
         )
     digest = hashlib.sha1(payload).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
     mean_luma = digest[2] / 255.0
-    return {"width": width, "height": height, "mean_luma": mean_luma}
+    return {
+        "width": width,
+        "height": height,
+        "mean_luma": mean_luma,
+        "luma_milli": int(mean_luma * 1000 * width * height),
+    }
 
 
 def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -54,8 +72,8 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     Batches arrive as Arrow record batches (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch); each batch is decoded
-    in one Python call — the pattern a real codec plugs into.
-    """
+    in one Python call — the pattern a real codec plugs into. PNGs
+    always decode for real; ``fake`` only governs non-PNG payloads."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,6 +86,7 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "mean_luma": [f["mean_luma"] for f in feats],
+                    "luma_milli": [f["luma_milli"] for f in feats],
                     "sha1": [hashlib.sha1(p).hexdigest() for p in pdf["payload"]],
                 }
             )
@@ -87,4 +106,38 @@ def payload_df_from_text(df: DataFrame, text_col: str = "text", id_col: str = "d
             F.lit("application/octet-stream").alias("mime"),
             F.length(F.col(text_col)).cast("long").alias("n_bytes"),
         ).alias("meta"),
+    )
+
+
+def png_payload_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG payload table from a text table: each row
+    becomes a small RGB PNG whose dimensions/pixels are a pure function
+    of (id, text). Rendered distributed in mapInPandas — the shape a
+    real media-ingest stage has (binary column + typed metadata)."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                fake_png(str(i), t if t is not None else "")
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype(str).values,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = df.select(id_col, text_col).mapInPandas(
+        render,
+        schema="item_id string, modality string, payload binary, mime string, n_bytes long",
+    )
+    return flat.select(
+        "item_id",
+        "modality",
+        "payload",
+        F.struct("mime", "n_bytes").alias("meta"),
     )

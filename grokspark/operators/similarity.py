@@ -2,22 +2,38 @@
 
 - ``ann_brute_force_topk``: exact cosine top-k (the correctness
   baseline; one scan + one top-k, no shuffle of vectors).
-- ``lsh_bucketed_topk``: random-hyperplane LSH buckets; only the probe
-  buckets are scanned — the 100-TB path (bucket column becomes the
-  table's partition/cluster key so partition pruning skips the rest).
+- ``build_lsh_index`` + ``lsh_index_topk``: the 100-TB path — the
+  random-hyperplane bucket is MATERIALIZED as the table's partition
+  column at index-build time, so a query's ``_bucket IN (probes)``
+  filter becomes real partition pruning (PartitionFilters in the scan;
+  non-probed buckets are never read, plan-asserted in
+  tests/test_plans.py).
+- ``lsh_bucketed_topk``: the index-free variant — computes buckets on
+  the fly and filters. Same results, but it still scans every vector;
+  use it only when the corpus isn't worth indexing.
 """
 
 from __future__ import annotations
 
+import itertools
 import random
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grokspark.operators.dedup import cosine
 
-__all__ = ["ann_brute_force_topk", "hyperplanes", "lsh_bucket_col", "lsh_bucketed_topk"]
+__all__ = [
+    "ann_brute_force_topk",
+    "hyperplanes",
+    "lsh_bucket_col",
+    "bucket_of",
+    "hamming_probes",
+    "build_lsh_index",
+    "lsh_index_topk",
+    "lsh_bucketed_topk",
+]
 
 
 def ann_brute_force_topk(
@@ -58,6 +74,94 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
     return bucket
 
 
+def bucket_of(vec: Sequence[float], planes: list[list[float]]) -> int:
+    """Sign-pattern bucket of one vector (driver-side; mirrors
+    ``lsh_bucket_col`` bit for bit — sequential left-to-right double
+    accumulation, same as F.aggregate's fold)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(vec, plane):
+            acc += float(x) * p
+        if acc >= 0:
+            b |= 1 << i
+    return b
+
+
+def hamming_probes(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """All buckets within ``probe_hamming`` bit flips of ``qb``
+    (C(n_planes, <=h) probes), sorted for deterministic plans."""
+    probes = {qb}
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            flipped = qb
+            for i in bits:
+                flipped ^= 1 << i
+            probes.add(flipped)
+    return sorted(probes)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Materialize ``df`` as a parquet table PARTITIONED BY its LSH
+    bucket. This is what makes LSH-ANN actually prune at scale: the
+    bucket is a physical partition column, so a probe query's
+    ``_bucket IN (...)`` reaches the scan as PartitionFilters and
+    non-probed buckets are never opened. (On a real cluster the same
+    layout is an Iceberg table partitioned/clustered by ``_bucket``.)
+
+    Returns the hyperplanes used (regenerate with ``hyperplanes(dim,
+    n_planes, seed)`` — they are a pure function of the seed)."""
+    dim = df.select(F.size(F.col(vec_col))).head()[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+        # cluster rows by bucket before the partitioned write: one file
+        # per bucket instead of (input partitions x buckets) shards —
+        # index builds shuffle once so every probe later reads one file
+        .repartition(F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(index_path)
+    )
+    return planes
+
+
+def lsh_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k over a materialized LSH index: reads ONLY the probe
+    partitions (partition pruning — C(n_planes, <=h) buckets of 2^n),
+    scores them, returns cosine top-k. Recall grows with
+    ``probe_hamming``; at h = n_planes it degrades to exact."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    probes = hamming_probes(bucket_of(query, planes), n_planes, probe_hamming)
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("_bucket").isin(probes)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        candidates.withColumn("score", cosine(F.col(vec_col), qlit))
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -68,30 +172,12 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k scanning only LSH buckets within ``probe_hamming`` bits
-    of the query's bucket. Recall grows with probe_hamming (probes
-    C(n_planes, <=h) buckets); at h = n_planes it degrades to exact."""
-    dim = len(query)
-    planes = hyperplanes(dim, n_planes, seed)
-
-    def bucket_of(vec: Sequence[float]) -> int:
-        b = 0
-        for i, plane in enumerate(planes):
-            if sum(float(x) * p for x, p in zip(vec, plane)) >= 0:
-                b |= 1 << i
-        return b
-
-    qb = bucket_of(query)
-    probes = [qb]
-    if probe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(n_planes)]
-    if probe_hamming >= 2:
-        probes += [
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-
+    """Index-free LSH ANN: buckets computed on the fly, probe filter
+    applied per row. Same candidate set and results as
+    ``lsh_index_topk`` but NO pruning — every vector is still scanned;
+    prefer the materialized index at scale."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    probes = hamming_probes(bucket_of(query, planes), n_planes, probe_hamming)
     bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
     candidates = bucketed.filter(F.col("_bucket").isin(probes))
     qlit = F.array(*[F.lit(float(x)) for x in query])

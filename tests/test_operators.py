@@ -113,3 +113,87 @@ def test_quality_and_langid_columns(docs):
         assert r["quality_keep"] in (0, 1)
     preds = lang_id(docs.limit(20)).select("lang_pred").distinct().collect()
     assert {r["lang_pred"] for r in preds} <= {"en", "other"}
+
+
+def test_simhash_pairs_match_pure_python(spark):
+    """Distributed banded SimHash pairs == single-process reference."""
+    from grokspark.datagen import iter_rows
+    from grokspark.operators import simhash_near_dup_pairs
+    from grokspark.operators.dedup import simhash_py
+
+    rows = [
+        (r["doc_id"], bytes(r["tokens"]).decode("utf-8")) for r in iter_rows(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    # brute-force reference over unsigned sigs
+    sigs = [(d, simhash_py(t) & 0xFFFFFFFFFFFFFFFF) for d, t in rows]
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (da, ua), (db, ub) = sigs[i], sigs[j]
+            if da > db:
+                da, db, ua, ub = db, da, ub, ua
+            h = (ua ^ ub).bit_count()
+            if h <= 3:
+                want[(da, db)] = h
+    assert got == want
+
+
+def test_simhash_pairs_rejects_unguaranteed_hamming(spark):
+    from grokspark.operators import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_ann_index_topk_equals_bucketed_variant(spark, emb, tmp_path):
+    """The materialized-index path returns exactly what the on-the-fly
+    bucket filter returns (same planes, same probes)."""
+    from grokspark.operators import build_lsh_index, lsh_bucketed_topk, lsh_index_topk
+
+    index = str(tmp_path / "ann_index")
+    build_lsh_index(emb, index, n_planes=8, seed=42)
+    query = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    via_index = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in lsh_index_topk(spark, index, query, k=10, probe_hamming=2).collect()
+    ]
+    via_filter = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in lsh_bucketed_topk(emb, query, k=10, probe_hamming=2).collect()
+    ]
+    assert via_index == via_filter
+    assert via_index[0][0] == 1  # the query's own vector ranks first
+
+
+def test_png_decode_distributed_matches_pure_python(spark):
+    """Real PNG decode in mapInPandas == single-process codec run."""
+    import hashlib
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.multimodal import extract_image_features, png_payload_df
+    from grokspark.operators.png import fake_png, png_features
+
+    rows = [
+        (r["doc_id"], bytes(r["tokens"]).decode("utf-8")) for r in iter_rows(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    feats = {
+        r["item_id"]: r
+        for r in extract_image_features(png_payload_df(df), fake=False).collect()
+    }
+    assert len(feats) == 80
+    for doc_id, text in rows:
+        payload = fake_png(doc_id, text)
+        want = png_features(payload)
+        got = feats[doc_id]
+        assert got["width"] == want["width"] and got["height"] == want["height"]
+        assert got["luma_milli"] == want["luma_milli"]
+        assert got["mean_luma"] == want["mean_luma"]
+        assert got["sha1"] == hashlib.sha1(payload).hexdigest()
+        assert got["n_bytes"] == len(payload)
