@@ -115,6 +115,19 @@ def run_bench(
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
 
+    # ranged mode: unit = input file-range — one total scan + per-range
+    # resume + observe-based counts (the 10^12-scale configuration)
+    sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_rg_")
+    try:
+        t0 = time.monotonic()
+        GrokPipeline(
+            spark,
+            PipelineConfig(out_dir=sink_dir, resume=False, range_units=4),
+        ).run(spark.read.parquet(pipe_path))
+        queries["pipeline_sinks_ranged"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
     # --- headline relational / training-data queries on sf tables ------
     import __spark_entry__ as entry
 

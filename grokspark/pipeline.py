@@ -43,10 +43,27 @@ Dataflow (all Catalyst-planned except the fused parse kernel):
 7. **Resume**: a JSON manifest under the output dir records completed
    units; a rerun skips them (idempotent).
 
-At 10^12-sequence scale each *unit* here becomes (pattern, input
-partition-range) instead of just pattern, and sink commits + counts
-come from Iceberg snapshot metadata instead of file re-reads; the unit
-structure, staging-commit discipline, and manifest keying are the same.
+Three execution modes (PipelineConfig):
+
+- default: one unit per (route, pattern) with independent staged
+  commits. Finest-grained resume, but each unit filters the root scan —
+  N patterns = N input scans. Keep for small pattern sets / selective
+  re-runs.
+- ``single_pass=True``: one scan, one multi-pattern router parse, one
+  dynamic-partition write. Fastest, one commit, coarse resume.
+- ``range_units=K``: **unit = input partition-range** — the 10^12-scale
+  design. The input file set is split into K size-balanced contiguous
+  ranges; each range is scanned ONCE, router-parsed for all patterns,
+  and committed independently (staging + rename per range). Total input
+  IO = one scan regardless of pattern count, resume granularity = K.
+  Counts and lineage come from ``DataFrame.observe`` metrics collected
+  by the write action itself (no committed re-read, no second pass);
+  they are recorded in the manifest only after the range's rename
+  commit succeeds, so a crashed/retried range never double-counts. A
+  per-row regex ``timeout`` surfaces as ``rows_timeout`` in lineage,
+  distinct from no-matches. On a real cluster the same unit maps to one
+  Iceberg append commit per range and counts come from the snapshot
+  summary — same keying, same discipline.
 """
 
 from __future__ import annotations
@@ -63,7 +80,12 @@ from pyspark.sql import functions as F
 
 from grokspark import datagen
 from grokspark.compiler import CompiledPattern, GrokRegistry
-from grokspark.udfs import apply_extracts, grok_parse_map_udf, grok_parse_router_udf
+from grokspark.udfs import (
+    apply_extracts,
+    grok_parse_map_udf,
+    grok_parse_router_status_udf,
+    grok_parse_router_udf,
+)
 
 __all__ = ["PipelineConfig", "PipelineResult", "GrokPipeline", "route_match_counts"]
 
@@ -90,6 +112,10 @@ class PipelineConfig:
     # False (default): one unit per (route, pattern) with independent
     # staging commits and per-unit resume (finer-grained durability).
     single_pass: bool = False
+    # range_units=K: unit = input file-range (K size-balanced contiguous
+    # ranges, each scanned once and committed independently) — one total
+    # input scan AND per-unit resume. Requires a file-backed input.
+    range_units: Optional[int] = None
 
 
 @dataclass
@@ -101,9 +127,39 @@ class PipelineResult:
     unroutable_count: int = 0
     rows_in: int = 0
     # list of {pattern_name, part_id, rows_in, rows_matched}
+    # (+ rows_timeout in ranged mode when a timeout is configured)
     lineage: list[dict] = field(default_factory=list)
     skipped_units: list[str] = field(default_factory=list)
+    # ranged mode: unit -> input files it scanned (disjoint; union = all
+    # input files — the scans-input-once evidence, asserted in tests)
+    unit_files: dict[str, list[str]] = field(default_factory=dict)
     elapsed_sec: float = 0.0
+
+
+def _split_files_by_size(files: list[str], k: int) -> list[list[str]]:
+    """Split a sorted file list into <=k contiguous, size-balanced
+    ranges (the local analogue of Iceberg's split planning over data
+    files). Files whose size can't be stat'd count as 1 byte."""
+    from urllib.parse import urlparse
+
+    k = max(1, min(k, len(files)))
+    sized = []
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            size = max(1, os.path.getsize(path))
+        except OSError:
+            size = 1
+        sized.append((f, size))
+    total = sum(s for _, s in sized)
+    units: list[list[str]] = [[]]
+    acc = 0
+    for f, size in sized:
+        if units[-1] and len(units) < k and acc >= total * len(units) / k:
+            units.append([])
+        units[-1].append(f)
+        acc += size
+    return units
 
 
 class _Manifest:
@@ -228,6 +284,10 @@ class GrokPipeline:
 
         routes_df = F.broadcast(self.spark.createDataFrame(self.routes))
         enriched = seq_df.join(routes_df, "source", "left")
+
+        if cfg.range_units:
+            self._run_ranged(seq_df, routes_df, manifest, result)
+            return self._finish(result, t0)
 
         # --- dead-letter: rows whose source has no route -----------------
         unit = "unroutable"
@@ -419,6 +479,154 @@ class GrokPipeline:
             counts={f"{r}|{p}": c for (r, p), c in result.unit_counts.items()},
             lineage=lineage,
         )
+
+    # -- ranged mode ---------------------------------------------------------
+
+    def _run_ranged(
+        self,
+        seq_df: DataFrame,
+        routes_df: DataFrame,
+        manifest: "_Manifest",
+        result: PipelineResult,
+    ) -> None:
+        """Unit = input file-range: each range scanned once, router-
+        parsed for every pattern, committed independently. Counts come
+        from write-action observe metrics — never a committed re-read —
+        and land in the manifest only after the rename commit, so a
+        retried range cannot double-count."""
+        from pyspark.sql import Observation
+
+        cfg = self.config
+        files = sorted(seq_df.inputFiles())
+        if not files:
+            raise ValueError(
+                "range_units requires a file-backed input "
+                "(DataFrame.inputFiles() is empty for this plan)"
+            )
+        ranges = _split_files_by_size(files, cfg.range_units)
+        patterns = sorted(self.pattern_exprs)
+        route_of = {r["pattern_name"]: r["route"] for r in self.routes}
+        compiled = {name: self.compiled(name) for name in patterns}
+        parse = grok_parse_router_status_udf(
+            compiled, from_tokens=True, timeout=cfg.timeout
+        )
+
+        def accumulate(unit: str, metrics: dict, lineage: list[dict]) -> None:
+            result.unroutable_count += metrics["unroutable"]
+            for p in patterns:
+                m, u = metrics[f"m__{p}"], metrics[f"u__{p}"]
+                if m or u:
+                    counts = result.unit_counts.setdefault(
+                        (route_of[p], p), {"matched": 0, "unmatched": 0}
+                    )
+                    counts["matched"] += m
+                    counts["unmatched"] += u
+            result.lineage.extend(lineage)
+
+        for i, unit_files in enumerate(ranges):
+            unit = f"range_{i:04d}"
+            result.unit_files[unit] = unit_files
+            rec = manifest.done(unit) if cfg.resume else None
+            if rec:
+                accumulate(unit, rec["metrics"], rec.get("lineage", []))
+                result.skipped_units.append(unit)
+                continue
+
+            df = self.spark.read.parquet(*unit_files)
+            parsed = (
+                df.join(routes_df, "source", "left")
+                .withColumn("st", parse(F.col("pattern_name"), F.col("tokens")))
+                .withColumn("fields", F.col("st.fields"))
+                .withColumn("timed_out", F.col("st.timed_out"))
+                .drop("st")
+                .withColumn("matched", F.col("fields").isNotNull())
+                .withColumn("_range_id", F.lit(i))
+                .withColumn(
+                    "_route_dir", F.coalesce(F.col("route"), F.lit("_unroutable"))
+                )
+                .withColumn(
+                    "_pattern_dir",
+                    F.coalesce(F.col("pattern_name"), F.lit("_none")),
+                )
+            )
+            obs = Observation(f"grokspark_{unit}")
+            exprs = [
+                F.sum(F.when(F.col("route").isNull(), 1).otherwise(0)).alias(
+                    "unroutable"
+                )
+            ]
+            for p in patterns:
+                is_p = F.col("pattern_name") == p
+                exprs += [
+                    F.sum(F.when(is_p & F.col("matched"), 1).otherwise(0)).alias(
+                        f"m__{p}"
+                    ),
+                    F.sum(F.when(is_p & ~F.col("matched"), 1).otherwise(0)).alias(
+                        f"u__{p}"
+                    ),
+                    F.sum(F.when(is_p & F.col("timed_out"), 1).otherwise(0)).alias(
+                        f"t__{p}"
+                    ),
+                ]
+            observed = parsed.observe(obs, *exprs)
+
+            if cfg.write_sinks:
+                staging = self._staging_dir(unit)
+                if os.path.exists(staging):
+                    shutil.rmtree(staging)
+                (
+                    observed.write.mode("overwrite")
+                    .partitionBy("_route_dir", "_pattern_dir")
+                    .parquet(staging)
+                )
+            else:
+                observed.count()  # counts-only dry run still one scan
+            metrics = {k: int(v or 0) for k, v in obs.get.items()}
+
+            if cfg.write_sinks:
+                self._publish_range(unit, i)
+
+            lineage = []
+            for p in patterns:
+                rows_in = metrics[f"m__{p}"] + metrics[f"u__{p}"]
+                if rows_in:
+                    entry = {
+                        "pattern_name": p,
+                        "part_id": i,
+                        "rows_in": rows_in,
+                        "rows_matched": metrics[f"m__{p}"],
+                        "rows_timeout": metrics[f"t__{p}"],
+                    }
+                    lineage.append(entry)
+            accumulate(unit, metrics, lineage)
+            manifest.mark(unit, metrics=metrics, lineage=lineage)
+
+    def _publish_range(self, unit: str, range_id: int) -> None:
+        """Move each (route, pattern) subtree of the range's staging dir
+        into sinks/<route>/<pattern>/<unit> (and _unroutable/_none into
+        unroutable/<unit>). Renames are idempotent per unit: a rerun
+        clears its own target dirs first, so a crash mid-publish just
+        re-runs the range."""
+        cfg = self.config
+        staging = self._staging_dir(unit)
+        for route_ent in sorted(os.listdir(staging)):
+            if not route_ent.startswith("_route_dir="):
+                continue  # _SUCCESS etc.
+            route = route_ent.split("=", 1)[1]
+            route_dir = os.path.join(staging, route_ent)
+            for pat_ent in sorted(os.listdir(route_dir)):
+                if not pat_ent.startswith("_pattern_dir="):
+                    continue
+                pattern = pat_ent.split("=", 1)[1]
+                if route == "_unroutable":
+                    dest = os.path.join(cfg.out_dir, "unroutable", unit)
+                else:
+                    dest = os.path.join(cfg.out_dir, "sinks", route, pattern, unit)
+                if os.path.exists(dest):
+                    shutil.rmtree(dest)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(route_dir, pat_ent), dest)
+        shutil.rmtree(staging)
 
     def _commit(
         self, df: DataFrame, unit: str, final_dir: str, count: bool = True

@@ -157,3 +157,115 @@ def test_single_pass_mode_counts_match(spark, seq_df, corpus, oracle, tmp_path):
     second = GrokPipeline(spark, cfg).run(seq_df)
     assert "singlepass" in second.skipped_units
     assert second.sink_counts == result.sink_counts
+
+
+@pytest.fixture(scope="module")
+def seq_parquet(spark, seq_df, tmp_path_factory):
+    """File-backed input for ranged mode (6 parquet files)."""
+    path = str(tmp_path_factory.mktemp("seq") / "sequences")
+    seq_df.repartition(6).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_ranged_mode_counts_and_single_scan(spark, seq_parquet, corpus, oracle, tmp_path):
+    """range_units=K: per-sink counts match the reference, every input
+    file is scanned by exactly one range (disjoint cover — the
+    scans-input-once evidence), counts come from write-side observe
+    metrics, and the token invariant holds in the committed sinks."""
+    out_dir = str(tmp_path / "ranged")
+    src = spark.read.parquet(seq_parquet)
+    cfg = PipelineConfig(out_dir=out_dir, range_units=3)
+    result = GrokPipeline(spark, cfg).run(src)
+
+    assert result.sink_counts == oracle["sink_counts"]
+    assert result.unroutable_count == oracle["unroutable"]
+    assert result.rows_in == N_ROWS
+
+    # disjoint cover of the input files
+    all_files = set(src.inputFiles())
+    seen: set[str] = set()
+    for unit, files in result.unit_files.items():
+        fs = set(files)
+        assert not (fs & seen), f"{unit} rescans files"
+        seen |= fs
+    assert seen == all_files
+    assert len(result.unit_files) == 3
+
+    # committed sinks: token pass-through invariant
+    input_tokens = {row["doc_id"]: row["tokens"] for row in corpus}
+    web = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/sinks/web/*/*")
+    rows = web.select("doc_id", "tokens", "matched").collect()
+    assert len(rows) == sum(oracle["sink_counts"]["web"].values())
+    for r in rows:
+        assert r["tokens"] == input_tokens[r["doc_id"]]
+
+    # lineage covers every routed row exactly once, keyed by range
+    assert sum(li["rows_in"] for li in result.lineage) == N_ROWS - oracle["unroutable"]
+    assert {li["part_id"] for li in result.lineage} <= {0, 1, 2}
+    assert all(li["rows_timeout"] == 0 for li in result.lineage)
+
+    # dead-letter rows live under unroutable/<range_unit>
+    dead = spark.read.parquet(f"{out_dir}/unroutable/*")
+    assert dead.count() == oracle["unroutable"]
+
+
+def test_ranged_mode_resume_per_range(spark, seq_parquet, oracle, tmp_path):
+    import json
+    import os
+
+    out_dir = str(tmp_path / "ranged")
+    src = spark.read.parquet(seq_parquet)
+    cfg = PipelineConfig(out_dir=out_dir, range_units=3)
+    first = GrokPipeline(spark, cfg).run(src)
+    assert not first.skipped_units
+
+    second = GrokPipeline(spark, cfg).run(src)
+    assert sorted(second.skipped_units) == ["range_0000", "range_0001", "range_0002"]
+    assert second.sink_counts == first.sink_counts == oracle["sink_counts"]
+    assert second.unroutable_count == first.unroutable_count
+    assert second.lineage == first.lineage
+
+    # invalidate ONE range -> only that range recomputes
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    with open(manifest_path) as f:
+        state = json.load(f)
+    del state["range_0001"]
+    with open(manifest_path, "w") as f:
+        json.dump(state, f)
+    third = GrokPipeline(spark, cfg).run(src)
+    assert sorted(third.skipped_units) == ["range_0000", "range_0002"]
+    assert third.sink_counts == first.sink_counts
+
+
+def test_ranged_mode_timeout_lineage(spark, tmp_path):
+    """A hostile line under a per-row timeout is reported as
+    rows_timeout in lineage — distinct from genuine no-matches — and
+    never fails the task."""
+    hostile_expr = (
+        "%{GREEDYDATA:a} %{GREEDYDATA:b} %{GREEDYDATA:c} "
+        "%{GREEDYDATA:d} %{GREEDYDATA:e}=%{GREEDYDATA:f}"
+    )
+    rows = []
+    for i in range(20):
+        line = "k v x y w=ok" if i % 2 else "nomatch line without equals"
+        rows.append((f"d{i:03d}", list(line.encode()), len(line), "evil"))
+    hostile_line = "a " * 10000
+    rows.append(("dhostile", list(hostile_line.encode()), len(hostile_line), "evil"))
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).repartition(2).write.parquet(src_path)
+
+    routes = [
+        {"source": "evil", "route": "r1", "pattern_name": "pat_evil", "sink_path": "sinks/r1"}
+    ]
+    cfg = PipelineConfig(out_dir=str(tmp_path / "out"), range_units=2, timeout=0.05)
+    pipe = GrokPipeline(
+        spark, cfg, routes=routes, pattern_exprs={"pat_evil": hostile_expr}
+    )
+    result = pipe.run(spark.read.parquet(src_path))
+    counts = result.unit_counts[("r1", "pat_evil")]
+    assert counts["matched"] == 10
+    assert counts["unmatched"] == 11  # 10 no-match + 1 timeout
+    assert sum(li["rows_timeout"] for li in result.lineage) == 1
+    assert sum(li["rows_in"] for li in result.lineage) == 21
