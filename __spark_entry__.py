@@ -418,6 +418,37 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH pair graph -> iterative hash-min
+    connected components -> (doc_id, cluster_id = min doc_id of the
+    component). Oracle: DuckDB recursive CTE over the exact-Jaccard
+    pair graph (identical to the LSH graph at this scale — verified by
+    the dedup_minhash_lsh oracle)."""
+    from grokspark.operators import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, n=2, bands=64
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN (every row gets its top-3 neighbors
+    within hamming<=1 LSH probe buckets). Candidates via one bucket
+    equi-join — embeddings never ride the probe explode. Oracle: DuckDB
+    recomputes buckets and windows the hamming-filtered pairs."""
+    from grokspark.operators import knn_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=3, n_planes=8, probe_hamming=1, seed=42).select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the deterministic corpus: banded
     candidates (pigeonhole-complete for hamming<=bands-1) + exact
@@ -586,7 +617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
+        "knn_join": q_knn_join,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -604,22 +637,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','for','on']"
 
-def _ann_lsh_oracle_sql(n_planes: int = 8, probe_hamming: int = 2, k: int = 10) -> str:
-    """DuckDB mirror of lsh_index_topk: recompute the sign-LSH bucket
-    per row from the same deterministic hyperplanes (dim 64, seed 42 —
-    the testdata embeddings schema), probe buckets within
-    ``probe_hamming`` bit flips of the query's bucket, exact cosine
-    top-k of the probed rows. Sign margins are ~1e-3 on this corpus, so
+def _lsh_bucket_sql(n_planes: int = 8) -> str:
+    """DuckDB expression recomputing the sign-LSH bucket per row from
+    the same deterministic hyperplanes (dim 64, seed 42 — the testdata
+    embeddings schema). Sign margins are ~1e-3 on this corpus, so
     double-precision dot products agree bit-for-bit across engines."""
     from grokspark.operators.similarity import hyperplanes
 
     planes = hyperplanes(64, n_planes, seed=42)
-    bucket = " + ".join(
+    return " + ".join(
         "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
         + ",".join(repr(float(x)) for x in plane)
         + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+
+
+def _ann_lsh_oracle_sql(n_planes: int = 8, probe_hamming: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of lsh_index_topk: same buckets, probe within
+    ``probe_hamming`` bit flips of the query's bucket, exact cosine
+    top-k of the probed rows."""
+    bucket = _lsh_bucket_sql(n_planes)
     return f"""
         WITH b AS (
           SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
@@ -793,6 +831,45 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
               ORDER BY list_cosine_similarity(e.embedding, q) DESC, e.vec_id ASC
               LIMIT 10)
+        """,
+        # connected components over the exact-Jaccard pair graph via a
+        # recursive CTE — the SQL twin of the iterative hash-min loop
+        "dedup_clusters": f"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM g a, g b
+              WHERE a.id < b.id
+                AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+            )
+            SELECT id AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "knn_join": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket
+              FROM embeddings
+            )
+            SELECT vec_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM b q JOIN b c
+                ON bit_count(xor(q.bucket, c.bucket)) <= 1
+               AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 3
         """,
         "simhash_pairs": _values_sql(
             _simhash_oracle_rows(),

@@ -6,6 +6,7 @@ explicitly-marked multimodal decode stubs.
 """
 
 from grokspark.operators.dedup import (
+    duplicate_clusters,
     embedding_cosine_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -17,6 +18,7 @@ from grokspark.operators.dedup import (
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
     build_lsh_index,
+    knn_join,
     lsh_bucketed_topk,
     lsh_index_topk,
 )
@@ -28,7 +30,9 @@ from grokspark.operators.textops import (
 )
 
 __all__ = [
+    "duplicate_clusters",
     "exact_dedup",
+    "knn_join",
     "jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",

@@ -36,6 +36,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "simhash_py",
+    "duplicate_clusters",
     "embedding_cosine_pairs",
     "cosine",
 ]
@@ -352,6 +353,59 @@ def simhash_py(text: Optional[str], bits: int = 64) -> int:
         if v > 0:
             sig |= 1 << i
     return sig - (1 << bits) if sig >= (1 << (bits - 1)) else sig
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(id, cluster_id)`` for every id that appears in a pair, where
+    cluster_id is the minimum id in the component (the canonical
+    representative to keep).
+
+    Iterative hash-to-min label propagation — the standard shuffle-
+    friendly CC for Spark: each round every vertex takes the min of its
+    own label and its neighbors' labels (one equi-join + one groupBy
+    per round), converging in O(component diameter) rounds, NOT
+    O(graph size). Near-dup graphs are unions of small cliques, so 2-3
+    rounds typically suffice; ``max_iterations`` bounds adversarial
+    chains. Each round is ``localCheckpoint``-ed to truncate plan
+    lineage (without it the plan doubles per iteration). Convergence is
+    detected by an exact changed-label count per round."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = sym.join(
+            labels, sym["dst"] == labels["id"]
+        ).select(F.col("src").alias("id"), F.col("label"))
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -33,6 +33,7 @@ __all__ = [
     "build_lsh_index",
     "lsh_index_topk",
     "lsh_bucketed_topk",
+    "knn_join",
 ]
 
 
@@ -159,6 +160,86 @@ def lsh_index_topk(
         .select(id_col, "score")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for all buckets within ``probe_hamming`` bit flips."""
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbors for EVERY row (the batch ANN op
+    a training pipeline runs corpus-wide): ``(id, neighbor_id, score,
+    rank)`` with rank 1..k by cosine within the probed LSH buckets.
+
+    Scale shape (the same narrow-candidates discipline as the dedup
+    ops): buckets are computed once per row; the query side explodes to
+    C(n_planes, <=h) probe buckets carrying ONLY (id, probe_bucket) —
+    the 256-float embedding never rides the xprobes explode. Candidates
+    come from one equi-join on the bucket (no inequality/cartesian
+    join), then embeddings join back narrowly for scoring, then a
+    per-id top-k window. Semantically identical to filtering all pairs
+    on hamming(bucket_a, bucket_b) <= h, without the all-pairs plan."""
+    planes = hyperplanes(
+        df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
+    )
+    masks = _probe_masks(n_planes, probe_hamming)
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
+    probes = (
+        bucketed.select("id", "_bucket")
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
+        )
+    )
+    cand = probes.join(
+        bucketed.select(F.col("id").alias("nid"), F.col("_bucket")),
+        probes["_probe"] == F.col("_bucket"),
+    ).filter(F.col("qid") != F.col("nid")).select("qid", "nid").dropDuplicates()
+    scored = (
+        cand.join(
+            bucketed.select(F.col("id").alias("qid"), F.col("vec").alias("qv")),
+            "qid",
+        )
+        .join(
+            bucketed.select(F.col("id").alias("nid"), F.col("vec").alias("nv")),
+            "nid",
+        )
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
     )
 
 

@@ -197,3 +197,59 @@ def test_png_decode_distributed_matches_pure_python(spark):
         assert got["mean_luma"] == want["mean_luma"]
         assert got["sha1"] == hashlib.sha1(payload).hexdigest()
         assert got["n_bytes"] == len(payload)
+
+
+def test_duplicate_clusters_components(spark):
+    """Hash-min CC: chains need multiple propagation rounds; min id
+    becomes the cluster representative."""
+    from grokspark.operators import duplicate_clusters
+
+    pairs = [
+        ("a", "b"), ("b", "c"),              # triangle-ish component -> a
+        ("d", "e"),                           # pair -> d
+        ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p5", "p6"),
+    ]                                         # 6-chain (diameter 5) -> p1
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d",
+        "p1": "p1", "p2": "p1", "p3": "p1", "p4": "p1", "p5": "p1", "p6": "p1",
+    }
+
+
+def test_knn_join_matches_reference(spark, emb):
+    """Bucket-equi-join kNN == brute-force pairs filtered on bucket
+    hamming (the semantics the equi-join plan implements)."""
+    import numpy as np
+
+    from grokspark.operators import knn_join
+    from grokspark.operators.similarity import bucket_of, hyperplanes
+
+    sample = emb.limit(120).cache()
+    rows = sample.select("vec_id", "embedding").collect()
+    planes = hyperplanes(len(rows[0]["embedding"]), 8, 42)
+    buckets = {r["vec_id"]: bucket_of(r["embedding"], planes) for r in rows}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = {}
+    for q in vecs:
+        cands = [
+            c for c in vecs
+            if c != q and bin(buckets[q] ^ buckets[c]).count("1") <= 1
+        ]
+        ranked = sorted(cands, key=lambda c: (-cos(vecs[q], vecs[c]), c))[:3]
+        for rank, c in enumerate(ranked, 1):
+            want[(q, c)] = rank
+
+    got = {
+        (r["vec_id"], r["neighbor_id"]): r["rank"]
+        for r in knn_join(sample, k=3, n_planes=8, probe_hamming=1).collect()
+    }
+    assert got == want
+    sample.unpersist()
