@@ -10,14 +10,19 @@ Oracle strategy:
   parquet views, formulas mirrored expression-for-expression (integer
   outputs at comparison points; single-division doubles only, which are
   bit-identical across engines).
-- grok-parse operators: DuckDB cannot grok, so the oracle is an
-  independently computed expected table — the pure-Python
-  reference-parity matcher (tested byte-for-byte against the Rust
-  reference in tests/test_compiler.py) run over the identical
-  deterministic corpus, embedded as a VALUES literal.
-- genuinely non-SQL ops (MinHash-LSH, LSH-ANN, multimodal stubs) carry
-  no oracle entry -> driver records the weaker rows-only check; their
-  exactness is covered in tests/ (e.g. LSH recall vs exact operators).
+- grok-parse / SimHash / PNG operators: DuckDB cannot express them, so
+  the oracle is an independently computed expected table — the
+  pure-Python reference-parity implementation (itself tested
+  byte-for-byte against the Rust reference / brute force in tests/)
+  run single-process over the identical deterministic corpus, embedded
+  as a VALUES literal.
+- LSH operators: parameters are chosen so the output is deterministic
+  and SQL-checkable — MinHash bands=64 makes recall misses ~1e-8 (the
+  exact-Jaccard SQL is the oracle), and the sign-LSH bucket rule is
+  recomputed inside the oracle SQL itself (list_dot_product signs match
+  Spark's double fold bit-for-bit; margins ~1e-3 on this corpus).
+
+Every queries() entry has an oracle_sql() entry — no rows-only checks.
 """
 
 from __future__ import annotations
@@ -467,6 +472,23 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH candidates (bucket hamming
+    <= 2, one equi-join over id-only probes) + exact cosine verify —
+    the scale path the quadratic dedup_embedding_pairs baselines.
+    Oracle: DuckDB recomputes the buckets and applies the identical
+    candidate + verify rule."""
+    from grokspark.operators import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.5,
+        n_planes=8,
+        probe_hamming=2,
+        seed=42,
+    ).select("id_a", "id_b")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import ann_brute_force_topk
 
@@ -621,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
@@ -823,6 +846,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM b a JOIN b c
+              ON a.vec_id < c.vec_id
+             AND bit_count(xor(a.bucket, c.bucket)) <= 2
+            WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.5
         """,
         "ann_topk": """
             SELECT vec_id, label FROM (

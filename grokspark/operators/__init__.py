@@ -18,6 +18,7 @@ from grokspark.operators.dedup import (
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
     build_lsh_index,
+    embedding_lsh_pairs,
     knn_join,
     lsh_bucketed_topk,
     lsh_index_topk,
@@ -39,6 +40,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "simhash_signatures",
     "embedding_cosine_pairs",
+    "embedding_lsh_pairs",
     "ann_brute_force_topk",
     "build_lsh_index",
     "lsh_index_topk",

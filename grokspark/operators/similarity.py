@@ -34,6 +34,7 @@ __all__ = [
     "lsh_index_topk",
     "lsh_bucketed_topk",
     "knn_join",
+    "embedding_lsh_pairs",
 ]
 
 
@@ -241,6 +242,62 @@ def knn_join(
             "rank",
         )
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: the LSH twin of
+    ``grokspark.operators.dedup.embedding_cosine_pairs`` (which is the
+    quadratic exactness baseline). Candidates are pairs whose sign-LSH
+    buckets differ in <= ``probe_hamming`` bits — produced by ONE
+    bucket equi-join over XOR-mask probes carrying ids only — then
+    verified by exact cosine >= threshold (precision is exact; recall
+    is governed by n_planes/probe_hamming and measured against the
+    baseline in tests). Deterministic: the candidate rule itself is
+    recomputable (the driver oracle mirrors it in SQL)."""
+    planes = hyperplanes(
+        df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
+    )
+    masks = _probe_masks(n_planes, probe_hamming)
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
+    probes = (
+        bucketed.select("id", "_bucket")
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
+        )
+    )
+    cands = (
+        probes.join(
+            bucketed.select(F.col("id").alias("id_b"), "_bucket"),
+            (probes["_probe"] == F.col("_bucket"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    scored = (
+        cands.join(
+            bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
+            "id_a",
+        )
+        .join(
+            bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
+            "id_b",
+        )
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    )
+    return scored.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
 def lsh_bucketed_topk(

@@ -253,3 +253,42 @@ def test_knn_join_matches_reference(spark, emb):
     }
     assert got == want
     sample.unpersist()
+
+
+def test_embedding_lsh_pairs_precision_and_semantics(spark, emb):
+    """LSH embedding pairs: exact precision (subset of the brute-force
+    pairs at the same threshold) and exact candidate-rule semantics
+    (equals brute force filtered on bucket hamming <= h)."""
+    import numpy as np
+
+    from grokspark.operators import embedding_cosine_pairs, embedding_lsh_pairs
+    from grokspark.operators.similarity import bucket_of, hyperplanes
+
+    sample = emb.limit(150).cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(sample, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_pairs(
+            sample, threshold=0.5, n_planes=8, probe_hamming=1
+        ).collect()
+    }
+    assert got <= exact  # precision: every emitted pair is a true pair
+
+    rows = sample.select("vec_id", "embedding").collect()
+    planes = hyperplanes(len(rows[0]["embedding"]), 8, 42)
+    buckets = {r["vec_id"]: bucket_of(r["embedding"], planes) for r in rows}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(buckets[a] ^ buckets[b]).count("1") > 1:
+                continue
+            cos = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if cos >= 0.5:
+                want.add((a, b))
+    assert got == want
+    sample.unpersist()
