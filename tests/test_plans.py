@@ -175,3 +175,31 @@ def _executed_scan_metrics(df) -> list[dict]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def test_similarity_bucket_exchanges_never_carry_vectors(spark, sf_dir):
+    """knn_join / embedding_lsh_pairs candidate stages shuffle on the
+    LSH bucket; the 64-float embedding arrays must be pruned out of
+    those exchanges (they rejoin narrowly for scoring only)."""
+    import re
+
+    from grokspark.operators import embedding_lsh_pairs, knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        knn_join(emb, k=3, probe_hamming=1),
+        embedding_lsh_pairs(emb, threshold=0.5, probe_hamming=2),
+    ):
+        plan = explain_str(df, "formatted")
+        blocks = re.split(r"\n(?=\(\d+\) )", plan)
+        bucket_exchanges = [
+            b
+            for b in blocks
+            if "Exchange" in b.splitlines()[0] and ("_probe" in b or "_bucket" in b)
+        ]
+        assert bucket_exchanges, "no bucket exchange found — plan shape changed"
+        for b in bucket_exchanges:
+            detail = " ".join(
+                l for l in b.splitlines() if l.startswith(("Input", "Arguments"))
+            )
+            assert "embedding#" not in detail and "vec#" not in detail, b
