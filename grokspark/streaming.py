@@ -32,7 +32,12 @@ from grokspark import datagen
 from grokspark.compiler import GrokRegistry
 from grokspark.udfs import grok_parse_router_udf
 
-__all__ = ["read_sequence_stream", "stream_windowed_route_counts", "stream_first_seen"]
+__all__ = [
+    "read_sequence_stream",
+    "stream_windowed_route_counts",
+    "stream_first_seen",
+    "stream_route_sinks",
+]
 
 SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 EVENT_T0 = "2024-01-01 00:00:00"
@@ -92,6 +97,59 @@ def stream_windowed_route_counts(
             "matched",
             "n",
         )
+    )
+
+
+def stream_route_sinks(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    registry: Optional[GrokRegistry] = None,
+    alias_only: bool = True,
+):
+    """Streaming fan-out sinks: the foreachBatch twin of the batch
+    pipeline's dynamic-partition write. Each micro-batch is broadcast-
+    enriched, router-parsed, and written to
+    ``out_dir/sinks/batch_id=<n>/route=<r>/pattern_name=<p>/``.
+
+    Exactly-once story: the file source + checkpoint give at-least-once
+    micro-batch delivery; writes are made idempotent by keying each
+    batch's output on its batch_id and OVERWRITING that directory — a
+    replayed batch rewrites its own output instead of appending
+    duplicates (the standard foreachBatch idempotence pattern; on a
+    real cluster the same batch maps to one Iceberg
+    overwrite-by-filter/append with a batch-id snapshot property).
+
+    Returns a started StreamingQuery; callers await termination. Read
+    results back with ``spark.read.parquet(f"{out_dir}/sinks")`` —
+    partition discovery exposes batch_id/route/pattern_name columns."""
+    spark = stream_df.sparkSession
+    registry = registry or GrokRegistry.with_default_patterns()
+    compiled = {
+        name: registry.compile(expr, with_alias_only=alias_only)
+        for name, expr in datagen.pattern_exprs().items()
+    }
+    parse = grok_parse_router_udf(compiled, from_tokens=True)
+    routes = F.broadcast(datagen.routes_df(spark))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = (
+            batch_df.join(routes, "source", "left")
+            .filter(F.col("route").isNotNull())
+            .withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
+            .withColumn("matched", F.col("fields").isNotNull())
+        )
+        (
+            parsed.write.mode("overwrite")
+            .partitionBy("route", "pattern_name")
+            .parquet(f"{out_dir}/sinks/batch_id={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

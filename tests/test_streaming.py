@@ -97,3 +97,45 @@ def test_stream_first_seen_dedup(spark, corpus, tmp_path):
     assert len(ids) == len(set(ids)), "duplicate emission"
     expected = {r["doc_id"] for r in corpus[: half + 50]}
     assert set(ids) == expected
+
+
+def test_stream_route_sinks_match_batch_and_idempotent(spark, corpus, input_dir, tmp_path):
+    """foreachBatch fan-out sinks: per-(route, matched) counts across
+    all micro-batches equal the batch pipeline; restarting the finished
+    stream from its checkpoint writes nothing new."""
+    from grokspark.pipeline import route_match_counts
+    from grokspark.streaming import read_sequence_stream, stream_route_sinks
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_sequence_stream(spark, input_dir, max_files_per_trigger=1)
+    q = stream_route_sinks(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    sinks = spark.read.parquet(f"{out}/sinks")
+    assert {r["batch_id"] for r in sinks.select("batch_id").distinct().collect()} == {0, 1}
+    got = {
+        (r["route"], r["matched"]): r["n"]
+        for r in sinks.groupBy("route", "matched").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    batch = {
+        (r["route"], r["matched"]): r["n"]
+        for r in route_match_counts(spark, spark.createDataFrame(corpus, schema)).collect()
+    }
+    assert got == batch
+
+    # token pass-through invariant holds in streaming sinks too
+    input_tokens = {row["doc_id"]: row["tokens"] for row in corpus}
+    for r in sinks.select("doc_id", "tokens").limit(50).collect():
+        assert r["tokens"] == input_tokens[r["doc_id"]]
+
+    # restart from the same checkpoint: no new batches, identical data
+    before = sinks.count()
+    q2 = stream_route_sinks(
+        read_sequence_stream(spark, input_dir, max_files_per_trigger=1), out, ckpt
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(f"{out}/sinks")
+    assert after.count() == before
+    assert {r["batch_id"] for r in after.select("batch_id").distinct().collect()} == {0, 1}
