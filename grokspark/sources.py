@@ -19,9 +19,17 @@ summary metadata (no file re-reads).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Iterator, Optional
 
-__all__ = ["is_table_identifier", "read_sequences", "write_sink"]
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "is_table_identifier",
+    "read_sequences",
+    "read_raw_lines",
+    "write_sink",
+]
 
 
 def is_table_identifier(location: str) -> bool:
@@ -36,6 +44,58 @@ def read_sequences(spark: SparkSession, location: str) -> DataFrame:
     if is_table_identifier(location):
         return spark.read.table(location)
     return spark.read.parquet(location)
+
+
+def read_raw_lines(
+    spark: SparkSession, path: str, source: Optional[str] = None
+) -> DataFrame:
+    """Ingest adapter: raw text log files -> the tokenized-sequence
+    table shape ``(doc_id, tokens: array<int>, n_tok, source)`` the
+    whole pipeline consumes. This is how a user of the reference
+    library (who has plain ``*.log`` files, not pre-tokenized tables)
+    plugs straight into grokspark.
+
+    Encoding runs vectorized in mapInPandas (one Arrow pass — the same
+    place a real tokenizer would run). ``source`` is a fixed label; if
+    None, each row gets its file's basename sans extension.
+
+    doc_id is ``<file-basename>#<partition>-<offset>`` — deterministic
+    for a fixed file set and split plan (line offsets are per input
+    split, which Spark derives from file sizes). Pipelines that need a
+    content-stable id should derive one downstream (e.g.
+    ``fingerprint``)."""
+    import os
+
+    import pandas as pd
+
+    lines = spark.read.text(path).withColumn("_file", F.input_file_name())
+    fixed_source = source
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        offset = 0
+        for pdf in batches:
+            out_rows = []
+            for value, fname in zip(pdf["value"], pdf["_file"]):
+                base = os.path.basename(fname)
+                stem = base.rsplit(".", 1)[0]
+                tokens = list((value or "").encode("utf-8"))
+                out_rows.append(
+                    {
+                        "doc_id": f"{base}#{pid}-{offset}",
+                        "tokens": tokens,
+                        "n_tok": len(tokens),
+                        "source": fixed_source if fixed_source is not None else stem,
+                    }
+                )
+                offset += 1
+            yield pd.DataFrame(out_rows)
+
+    return lines.mapInPandas(
+        encode, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
 
 
 def write_sink(df: DataFrame, location: str, mode: str = "append") -> None:
