@@ -330,6 +330,27 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per group (p50/p90 of order price by
+    priority) via window rank selection — the values are raw column
+    elements (no interpolation arithmetic), so they compare exactly
+    across engines."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("o_totalprice"),
+        )
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90")
+    )
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -628,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "semi_join_active_customers": q_semi_join_active_customers,
         "window_top_orders": q_window_top_orders,
+        "price_quantiles": q_price_quantiles,
         "rollup_orders": q_rollup_orders,
         "cube_lineitem": q_cube_lineitem,
         "union_distinct_actors": q_union_distinct_actors,
@@ -765,6 +787,20 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders) WHERE rn <= 2
+            GROUP BY o_orderpriority
+        """,
+        "price_quantiles": """
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                            THEN o_totalprice END) AS p50,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                            THEN o_totalprice END) AS p90
+            FROM (
+              SELECT o_orderpriority, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders)
             GROUP BY o_orderpriority
         """,
         "rollup_orders": """

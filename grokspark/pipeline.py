@@ -430,6 +430,12 @@ class GrokPipeline:
             .withColumn("_part_id", F.spark_partition_id())
         )
 
+        # NOTE on the committed re-read below: it scans ONLY (route,
+        # pattern_name, matched, _part_id) — parquet column pruning
+        # skips the wide tokens/fields columns entirely, so the "second
+        # pass" reads a few % of written bytes, and it buys exact
+        # per-partition lineage. Ranged mode avoids even that via
+        # write-action observe metrics (pattern-granularity lineage).
         sink_root = os.path.join(cfg.out_dir, "sinks")
         if cfg.write_sinks:
             staging = self._staging_dir(unit)
