@@ -425,6 +425,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS BASELINE — quadratic within a block; at scale use
+    dedup_minhash_lsh (same output here) or pass block_col."""
     from grokspark.operators import jaccard_pairs
 
     return jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5, n=2)
@@ -486,6 +488,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS BASELINE — quadratic within a block; at scale use
+    dedup_embedding_lsh or pass block_col."""
     from grokspark.operators import embedding_cosine_pairs
 
     return embedding_cosine_pairs(

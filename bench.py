@@ -104,29 +104,30 @@ def run_bench(
 
     n_pipe = min(n, 200_000)
     pipe_path = ensure_input(spark, n_pipe)
-    sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_")
-    try:
-        t0 = time.monotonic()
-        GrokPipeline(
-            spark,
-            PipelineConfig(out_dir=sink_dir, parse_partitions=cpus, resume=False, single_pass=True),
-        ).run(spark.read.parquet(pipe_path))
-        queries["pipeline_sinks"] = round(time.monotonic() - t0, 3)
-    finally:
-        shutil.rmtree(sink_dir, ignore_errors=True)
 
+    def run_pipe(**cfg_kwargs) -> float:
+        """Fresh sink dir per attempt; best-of-2 (write-heavy legs are
+        the noisiest on this box)."""
+        best = float("inf")
+        for _ in range(2):
+            sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_")
+            try:
+                t0 = time.monotonic()
+                GrokPipeline(
+                    spark,
+                    PipelineConfig(out_dir=sink_dir, resume=False, **cfg_kwargs),
+                ).run(spark.read.parquet(pipe_path))
+                best = min(best, time.monotonic() - t0)
+            finally:
+                shutil.rmtree(sink_dir, ignore_errors=True)
+        return best
+
+    queries["pipeline_sinks"] = round(
+        run_pipe(parse_partitions=cpus, single_pass=True), 3
+    )
     # ranged mode: unit = input file-range — one total scan + per-range
     # resume + observe-based counts (the 10^12-scale configuration)
-    sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_rg_")
-    try:
-        t0 = time.monotonic()
-        GrokPipeline(
-            spark,
-            PipelineConfig(out_dir=sink_dir, resume=False, range_units=4),
-        ).run(spark.read.parquet(pipe_path))
-        queries["pipeline_sinks_ranged"] = round(time.monotonic() - t0, 3)
-    finally:
-        shutil.rmtree(sink_dir, ignore_errors=True)
+    queries["pipeline_sinks_ranged"] = round(run_pipe(range_units=4), 3)
 
     # --- headline relational / training-data queries on sf tables ------
     import __spark_entry__ as entry
