@@ -99,3 +99,44 @@ def test_word_capture_agrees_with_split(words):
     s = " ".join(words)
     p = GrokRegistry.with_default_patterns().compile("%{WORD:w}", with_alias_only=True)
     assert p.match_against(s) == {"w": words[0]}
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=16),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_encode_decode_identity(width, height, seed):
+    """Pure-stdlib PNG codec: decode(encode(px)) == px for arbitrary
+    RGB content, and the integer luma matches the direct formula."""
+    import hashlib
+
+    from grokspark.operators.png import decode_png, encode_png, png_features
+
+    need = width * height * 3
+    stream = bytearray()
+    counter = 0
+    while len(stream) < need:
+        stream += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    rgb = bytes(stream[:need])
+    data = encode_png(width, height, rgb)
+    img = decode_png(data)
+    assert (img["width"], img["height"], img["channels"]) == (width, height, 3)
+    assert img["pixels"] == rgb
+    feats = png_features(data)
+    want = 299 * sum(rgb[0::3]) + 587 * sum(rgb[1::3]) + 114 * sum(rgb[2::3])
+    assert feats["luma_milli"] == want
+
+
+@given(st.text(max_size=80), st.text(max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_fake_png_deterministic_and_decodable(key, text):
+    from grokspark.operators.png import fake_png, png_features
+
+    p1, p2 = fake_png(key, text), fake_png(key, text)
+    assert p1 == p2
+    feats = png_features(p1)
+    assert 4 <= feats["width"] <= 11 and 4 <= feats["height"] <= 11
+    assert 0.0 <= feats["mean_luma"] <= 255.0
