@@ -533,9 +533,12 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     path = _ANN_INDEX_CACHE.get(sf_dir)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="grokspark_ann_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_lsh_index(
             _read(spark, sf_dir, "embeddings"), path, n_planes=8, seed=42
         )

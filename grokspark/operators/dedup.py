@@ -372,8 +372,10 @@ def duplicate_clusters(
     per round), converging in O(component diameter) rounds, NOT
     O(graph size). Near-dup graphs are unions of small cliques, so 2-3
     rounds typically suffice; ``max_iterations`` bounds adversarial
-    chains. Each round is ``localCheckpoint``-ed to truncate plan
-    lineage (without it the plan doubles per iteration). Convergence is
+    chains — if the graph has NOT converged by then, a RuntimeError is
+    raised rather than silently returning a wrong partial clustering.
+    Each round is ``localCheckpoint``-ed to truncate plan lineage
+    (without it the plan doubles per iteration). Convergence is
     detected by an exact changed-label count per round."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
@@ -385,6 +387,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iterations):
         neighbor_labels = sym.join(
             labels, sym["dst"] == labels["id"]
@@ -405,6 +408,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            f"max_iterations (components need rounds >= min-id eccentricity)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -58,12 +58,15 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     digest = hashlib.sha1(payload).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
-    mean_luma = digest[2] / 255.0
+    # same units as the real PNG path: mean_luma in 0..255,
+    # luma_milli = 1000 * sum(per-pixel luma) — mixing fake and real
+    # rows in one aggregation must not mix scales
+    mean_luma = float(digest[2])
     return {
         "width": width,
         "height": height,
         "mean_luma": mean_luma,
-        "luma_milli": int(mean_luma * 1000 * width * height),
+        "luma_milli": 1000 * digest[2] * width * height,
     }
 
 

@@ -90,17 +90,73 @@ def bucket_of(vec: Sequence[float], planes: list[list[float]]) -> int:
     return b
 
 
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for all buckets within ``probe_hamming`` bit flips."""
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def hamming_probes(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
     """All buckets within ``probe_hamming`` bit flips of ``qb``
     (C(n_planes, <=h) probes), sorted for deterministic plans."""
-    probes = {qb}
-    for h in range(1, probe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), h):
-            flipped = qb
-            for i in bits:
-                flipped ^= 1 << i
-            probes.add(flipped)
-    return sorted(probes)
+    return sorted({qb ^ m for m in _probe_masks(n_planes, probe_hamming)})
+
+
+def _bucketed_vectors(
+    df: DataFrame, vec_col: str, id_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """(id, vec, _bucket) — the shared first stage of every bucket-LSH
+    batch operator."""
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
+
+
+def _bucket_candidate_pairs(
+    bucketed: DataFrame, masks: list[int], ordered: bool
+) -> DataFrame:
+    """Distinct candidate id pairs whose buckets differ by one of the
+    probe ``masks`` — ONE bucket equi-join over (id, probe) rows; the
+    vectors never ride the xmasks explode. ``ordered=True`` emits each
+    unordered pair once (qid < nid, dedup semantics); ``False`` emits
+    both directions (qid != nid, per-query kNN semantics)."""
+    probes = (
+        bucketed.select("id", "_bucket")
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
+        )
+    )
+    right = bucketed.select(F.col("id").alias("nid"), "_bucket")
+    pair_cond = F.col("qid") < F.col("nid") if ordered else F.col("qid") != F.col("nid")
+    return (
+        probes.join(right, (probes["_probe"] == right["_bucket"]) & pair_cond)
+        .select("qid", "nid")
+        .dropDuplicates()
+    )
+
+
+def _score_candidates(cand: DataFrame, bucketed: DataFrame) -> DataFrame:
+    """Join vectors back narrowly for both pair sides and score cosine
+    — (qid, nid, score)."""
+    return (
+        cand.join(
+            bucketed.select(F.col("id").alias("qid"), F.col("vec").alias("qv")),
+            "qid",
+        )
+        .join(
+            bucketed.select(F.col("id").alias("nid"), F.col("vec").alias("nv")),
+            "nid",
+        )
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
 
 
 def build_lsh_index(
@@ -164,18 +220,6 @@ def lsh_index_topk(
     )
 
 
-def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
-    """XOR masks for all buckets within ``probe_hamming`` bit flips."""
-    masks = [0]
-    for h in range(1, probe_hamming + 1):
-        for bits in itertools.combinations(range(n_planes), h):
-            m = 0
-            for i in bits:
-                m |= 1 << i
-            masks.append(m)
-    return masks
-
-
 def knn_join(
     df: DataFrame,
     k: int = 5,
@@ -200,33 +244,11 @@ def knn_join(
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
-    masks = _probe_masks(n_planes, probe_hamming)
-    bucketed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
-    probes = (
-        bucketed.select("id", "_bucket")
-        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
-        .select(
-            F.col("id").alias("qid"),
-            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
-        )
+    bucketed = _bucketed_vectors(df, vec_col, id_col, planes)
+    cand = _bucket_candidate_pairs(
+        bucketed, _probe_masks(n_planes, probe_hamming), ordered=False
     )
-    cand = probes.join(
-        bucketed.select(F.col("id").alias("nid"), F.col("_bucket")),
-        probes["_probe"] == F.col("_bucket"),
-    ).filter(F.col("qid") != F.col("nid")).select("qid", "nid").dropDuplicates()
-    scored = (
-        cand.join(
-            bucketed.select(F.col("id").alias("qid"), F.col("vec").alias("qv")),
-            "qid",
-        )
-        .join(
-            bucketed.select(F.col("id").alias("nid"), F.col("vec").alias("nv")),
-            "nid",
-        )
-        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
-    )
+    scored = _score_candidates(cand, bucketed)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(
@@ -265,39 +287,16 @@ def embedding_lsh_pairs(
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
-    masks = _probe_masks(n_planes, probe_hamming)
-    bucketed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
-    probes = (
-        bucketed.select("id", "_bucket")
-        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
-        )
+    bucketed = _bucketed_vectors(df, vec_col, id_col, planes)
+    cand = _bucket_candidate_pairs(
+        bucketed, _probe_masks(n_planes, probe_hamming), ordered=True
     )
-    cands = (
-        probes.join(
-            bucketed.select(F.col("id").alias("id_b"), "_bucket"),
-            (probes["_probe"] == F.col("_bucket"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates()
+    scored = _score_candidates(cand, bucketed)
+    return scored.filter(F.col("score") >= threshold).select(
+        F.col("qid").alias("id_a"),
+        F.col("nid").alias("id_b"),
+        F.col("score").alias("cos"),
     )
-    scored = (
-        cands.join(
-            bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
-            "id_a",
-        )
-        .join(
-            bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
-            "id_b",
-        )
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-    )
-    return scored.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
 def lsh_bucketed_topk(

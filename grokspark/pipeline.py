@@ -68,6 +68,7 @@ Three execution modes (PipelineConfig):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -503,6 +504,20 @@ class GrokPipeline:
         from pyspark.sql import Observation
 
         cfg = self.config
+        # ranged mode re-plans the scan per file-range, so the input
+        # must be a BARE parquet relation — any transformation (filter,
+        # projection, mapInPandas ingest like read_raw_lines) or other
+        # format would be silently dropped by a naive re-read. Fail
+        # loudly instead: materialize such inputs to parquet first.
+        analyzed = seq_df._jdf.queryExecution().analyzed()
+        first_line = analyzed.toString().splitlines()[0].lower()
+        if analyzed.nodeName() != "LogicalRelation" or "parquet" not in first_line:
+            raise ValueError(
+                "range_units requires the input to be an untransformed "
+                f"parquet scan (got plan node {analyzed.nodeName()!r}); "
+                "write transformed/ingested inputs to parquet first, or "
+                "use single_pass=True which preserves the caller's plan"
+            )
         files = sorted(seq_df.inputFiles())
         if not files:
             raise ValueError(
@@ -518,9 +533,12 @@ class GrokPipeline:
         )
 
         def accumulate(unit: str, metrics: dict, lineage: list[dict]) -> None:
-            result.unroutable_count += metrics["unroutable"]
+            result.unroutable_count += metrics.get("unroutable", 0)
+            # .get defaults: a resumed manifest may predate a pattern
+            # added since (its rows weren't parsed with it either)
             for p in patterns:
-                m, u = metrics[f"m__{p}"], metrics[f"u__{p}"]
+                m = metrics.get(f"m__{p}", 0)
+                u = metrics.get(f"u__{p}", 0)
                 if m or u:
                     counts = result.unit_counts.setdefault(
                         (route_of[p], p), {"matched": 0, "unmatched": 0}
@@ -532,7 +550,21 @@ class GrokPipeline:
         for i, unit_files in enumerate(ranges):
             unit = f"range_{i:04d}"
             result.unit_files[unit] = unit_files
+            files_sig = hashlib.sha1(
+                "\n".join(unit_files).encode("utf-8")
+            ).hexdigest()
             rec = manifest.done(unit) if cfg.resume else None
+            if rec and rec.get("files_sig") != files_sig:
+                # the input file set (or its range assignment) changed:
+                # committed range dirs no longer correspond to the new
+                # assignment — resuming would silently skip/duplicate
+                # files. Refuse; the caller picks a fresh out_dir or
+                # resume=False.
+                raise ValueError(
+                    f"input file set changed since {unit!r} was committed "
+                    f"(manifest signature mismatch) — rerun with a fresh "
+                    f"out_dir or resume=False"
+                )
             if rec:
                 accumulate(unit, rec["metrics"], rec.get("lineage", []))
                 result.skipped_units.append(unit)
@@ -605,7 +637,9 @@ class GrokPipeline:
                     }
                     lineage.append(entry)
             accumulate(unit, metrics, lineage)
-            manifest.mark(unit, metrics=metrics, lineage=lineage)
+            manifest.mark(
+                unit, metrics=metrics, lineage=lineage, files_sig=files_sig
+            )
 
     def _publish_range(self, unit: str, range_id: int) -> None:
         """Move each (route, pattern) subtree of the range's staging dir

@@ -133,11 +133,16 @@ def stream_route_sinks(
     routes = F.broadcast(datagen.routes_df(spark))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # unroutable rows are dead-lettered under route=_unroutable —
+        # never silently dropped (parity with every batch mode)
         parsed = (
             batch_df.join(routes, "source", "left")
-            .filter(F.col("route").isNotNull())
             .withColumn("fields", parse(F.col("pattern_name"), F.col("tokens")))
             .withColumn("matched", F.col("fields").isNotNull())
+            .withColumn("route", F.coalesce(F.col("route"), F.lit("_unroutable")))
+            .withColumn(
+                "pattern_name", F.coalesce(F.col("pattern_name"), F.lit("_none"))
+            )
         )
         (
             parsed.write.mode("overwrite")

@@ -199,6 +199,49 @@ def grok_parse_struct_udf(
     return parse
 
 
+def _router_rt_factory(specs: dict, timeout: Optional[float]):
+    """Per-worker lazy engine compile: pattern name -> hot tuple
+    (search fn, group indices, sorted keys), or False for unknown/NULL
+    pattern names (unroutable rows). Shared by both router UDFs so
+    timeout/no-match semantics cannot drift between them."""
+    runtime: dict = {}
+
+    def rt_for(name):
+        rt = runtime.get(name)
+        if rt is None:
+            spec = specs.get(name)
+            if spec is None:
+                runtime[name] = False
+                return False
+            eng = spec.engine
+            pat = eng.timeout_pattern() if timeout else eng.pattern
+            rt = (pat.search, eng.indices, eng.sorted_names)
+            runtime[name] = rt
+        return rt
+
+    return rt_for
+
+
+def _route_one(rt, text: Optional[str], timeout: Optional[float]):
+    """One routed row -> (participating-captures dict | None, timed_out).
+    None fields = unroutable, NULL text, no-match, or timeout."""
+    if rt is False or text is None:
+        return None, False
+    search, indices, keys = rt
+    try:
+        m = search(text, timeout=timeout) if timeout else search(text)
+    except TimeoutError:
+        return None, True
+    if m is None:
+        return None, False
+    if not indices:
+        return {}, False
+    values = m.group(*indices)
+    if len(indices) == 1:
+        values = (values,)
+    return {k: v for k, v in zip(keys, values) if v is not None}, False
+
+
 def grok_parse_router_udf(
     compiled_by_name: dict[str, CompiledPattern],
     from_tokens: bool = True,
@@ -208,7 +251,8 @@ def grok_parse_router_udf(
     map<string,string>``. One scan + one shuffle for the whole corpus
     instead of one per pattern — each row is parsed with the pattern its
     route dim entry names. Rows whose pattern_name is NULL/unknown get a
-    NULL map (unroutable)."""
+    NULL map (unroutable); a per-row timeout is a NULL map too (use the
+    status variant to count timeouts distinctly)."""
     specs = {
         name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
         for name, c in compiled_by_name.items()
@@ -216,49 +260,14 @@ def grok_parse_router_udf(
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def parse(pattern_names: pd.Series, payload: pd.Series) -> pd.Series:
-        # engine-compile lazily once per worker, then keep the hot
-        # tuple (search fn, group indices, sorted keys) out of the loop
-        runtime: dict = {}
-
-        def rt_for(name):
-            rt = runtime.get(name)
-            if rt is None:
-                spec = specs.get(name)
-                if spec is None:
-                    runtime[name] = False
-                    return False
-                eng = spec.engine
-                pat = eng.timeout_pattern() if timeout else eng.pattern
-                rt = (pat.search, eng.indices, eng.sorted_names)
-                runtime[name] = rt
-            return rt
-
-        out = []
-        append = out.append
+        rt_for = _router_rt_factory(specs, timeout)
         decode = _tokens_to_text
+        out = []
         for name, data in zip(pattern_names, payload):
             rt = rt_for(name)
-            if rt is False:
-                append(None)
-                continue
-            search, indices, keys = rt
-            text = decode(data) if from_tokens else data
-            if text is None:
-                append(None)
-                continue
-            try:
-                m = search(text, timeout=timeout) if timeout else search(text)
-            except TimeoutError:
-                m = None
-            if m is None:
-                append(None)
-            elif not indices:
-                append({})
-            else:
-                values = m.group(*indices)
-                if len(indices) == 1:
-                    values = (values,)
-                append({k: v for k, v in zip(keys, values) if v is not None})
+            text = (decode(data) if from_tokens else data) if rt is not False else None
+            fields, _timed = _route_one(rt, text, timeout)
+            out.append(fields)
         return pd.Series(out, dtype=object)
 
     return parse
@@ -289,50 +298,16 @@ def grok_parse_router_status_udf(
 
     @pandas_udf(schema)
     def parse(pattern_names: pd.Series, payload: pd.Series) -> pd.DataFrame:
-        runtime: dict = {}
-
-        def rt_for(name):
-            rt = runtime.get(name)
-            if rt is None:
-                spec = specs.get(name)
-                if spec is None:
-                    runtime[name] = False
-                    return False
-                eng = spec.engine
-                pat = eng.timeout_pattern() if timeout else eng.pattern
-                rt = (pat.search, eng.indices, eng.sorted_names)
-                runtime[name] = rt
-            return rt
-
+        rt_for = _router_rt_factory(specs, timeout)
+        decode = _tokens_to_text
         fields_out: list = []
         timed_out: list = []
-        decode = _tokens_to_text
         for name, data in zip(pattern_names, payload):
             rt = rt_for(name)
             text = (decode(data) if from_tokens else data) if rt is not False else None
-            if rt is False or text is None:
-                fields_out.append(None)
-                timed_out.append(False)
-                continue
-            search, indices, keys = rt
-            try:
-                m = search(text, timeout=timeout) if timeout else search(text)
-            except TimeoutError:
-                fields_out.append(None)
-                timed_out.append(True)
-                continue
-            timed_out.append(False)
-            if m is None:
-                fields_out.append(None)
-            elif not indices:
-                fields_out.append({})
-            else:
-                values = m.group(*indices)
-                if len(indices) == 1:
-                    values = (values,)
-                fields_out.append(
-                    {k: v for k, v in zip(keys, values) if v is not None}
-                )
+            fields, timed = _route_one(rt, text, timeout)
+            fields_out.append(fields)
+            timed_out.append(timed)
         return pd.DataFrame({"fields": fields_out, "timed_out": timed_out})
 
     return parse

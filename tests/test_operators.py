@@ -96,7 +96,8 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert len(rows) == 50
     for r in rows:
         assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
-        assert 0.0 <= r["mean_luma"] <= 1.0
+        assert 0.0 <= r["mean_luma"] <= 255.0  # same scale as real PNG decode
+        assert r["luma_milli"] == int(r["mean_luma"]) * 1000 * r["width"] * r["height"]
         assert len(r["sha1"]) == 40
     # deterministic across runs
     again = {r["item_id"]: r["sha1"] for r in extract_image_features(payloads, fake=True).collect()}
@@ -292,3 +293,12 @@ def test_embedding_lsh_pairs_precision_and_semantics(spark, emb):
                 want.add((a, b))
     assert got == want
     sample.unpersist()
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    from grokspark.operators import duplicate_clusters
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(8)]
+    df = spark.createDataFrame(chain, "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(df, max_iterations=2)

@@ -269,3 +269,35 @@ def test_ranged_mode_timeout_lineage(spark, tmp_path):
     assert counts["unmatched"] == 11  # 10 no-match + 1 timeout
     assert sum(li["rows_timeout"] for li in result.lineage) == 1
     assert sum(li["rows_in"] for li in result.lineage) == 21
+
+
+def test_ranged_mode_rejects_transformed_or_nonparquet_input(spark, seq_parquet, tmp_path):
+    """Ranged mode re-plans the scan per file-range, so it must REFUSE
+    inputs whose plan it would silently alter: filtered scans (filter
+    would be dropped) and non-parquet ingests (leaf re-read would
+    fail or corrupt)."""
+    cfg = PipelineConfig(out_dir=str(tmp_path / "o"), range_units=2)
+    filtered = spark.read.parquet(seq_parquet).filter(F.col("source") == "elb")
+    with pytest.raises(ValueError, match="untransformed parquet"):
+        GrokPipeline(spark, cfg).run(filtered)
+
+    from grokspark.sources import read_raw_lines
+
+    (tmp_path / "x.log").write_text("a line\n", encoding="utf-8")
+    raw = read_raw_lines(spark, str(tmp_path / "*.log"), source="apache_access")
+    with pytest.raises(ValueError, match="untransformed parquet"):
+        GrokPipeline(spark, cfg).run(raw)
+
+
+def test_ranged_mode_refuses_resume_after_input_change(spark, seq_df, tmp_path):
+    """A changed input file set invalidates committed range units —
+    resuming must fail loudly, not silently skip/duplicate files."""
+    src = str(tmp_path / "src")
+    seq_df.limit(200).repartition(4).write.parquet(src)
+    cfg = PipelineConfig(out_dir=str(tmp_path / "out"), range_units=2)
+    GrokPipeline(spark, cfg).run(spark.read.parquet(src))
+
+    # grow the input: append two more files
+    seq_df.limit(300).repartition(2).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="file set changed"):
+        GrokPipeline(spark, cfg).run(spark.read.parquet(src))

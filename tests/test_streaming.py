@@ -114,9 +114,10 @@ def test_stream_route_sinks_match_batch_and_idempotent(spark, corpus, input_dir,
 
     sinks = spark.read.parquet(f"{out}/sinks")
     assert {r["batch_id"] for r in sinks.select("batch_id").distinct().collect()} == {0, 1}
+    routed = sinks.filter(F.col("route") != "_unroutable")
     got = {
         (r["route"], r["matched"]): r["n"]
-        for r in sinks.groupBy("route", "matched").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in routed.groupBy("route", "matched").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     schema = "doc_id string, tokens array<int>, n_tok int, source string"
     batch = {
@@ -124,6 +125,10 @@ def test_stream_route_sinks_match_batch_and_idempotent(spark, corpus, input_dir,
         for r in route_match_counts(spark, spark.createDataFrame(corpus, schema)).collect()
     }
     assert got == batch
+
+    # unroutable rows are dead-lettered, not dropped
+    n_unroutable = sum(1 for r in corpus if r["source"] == "debug_feed")
+    assert sinks.filter(F.col("route") == "_unroutable").count() == n_unroutable
 
     # token pass-through invariant holds in streaming sinks too
     input_tokens = {row["doc_id"]: row["tokens"] for row in corpus}
