@@ -106,30 +106,28 @@ _ENGINE_CACHE: dict[tuple, "_EnginePattern"] = {}
 # atomic groups + lookbehind too and measures ~2.5x faster on the log
 # patterns, so it is the preferred hot-path engine when the pattern
 # compiles on it after mechanical dialect translation. POSIX bracket
-# classes would compile on sre with silently WRONG semantics (a nested
-# set), so they are translated to explicit ranges first; anything else
-# that fails sre compile falls back to ``regex``. Override with
-# GROKSPARK_ENGINE=regex|sre|auto (default auto).
+# classes ``[[:alpha:]]`` have UNICODE semantics on the reference
+# engine and would compile on sre either as a silently-wrong nested
+# set or (if translated to ASCII ranges) with silently-narrower
+# matches on non-ASCII text — so any POSIX class inside a bracket
+# expression forces the regex-engine fallback (only 1 of the 320
+# builtins uses one). Override with GROKSPARK_ENGINE=regex|sre|auto
+# (default auto).
 _ENGINE_PREF = os.environ.get("GROKSPARK_ENGINE", "auto")
 
-_POSIX_CLASSES = {
-    "[:alnum:]": "a-zA-Z0-9",
-    "[:alpha:]": "a-zA-Z",
-    "[:digit:]": "0-9",
-    "[:lower:]": "a-z",
-    "[:upper:]": "A-Z",
-    "[:space:]": " \\t\\r\\n\\v\\f",
-    "[:blank:]": " \\t",
-    "[:xdigit:]": "0-9A-Fa-f",
-    "[:punct:]": "!-/:-@\\[-`{-~",
-    "[:word:]": "a-zA-Z0-9_",
-}
+
+class _NotSreExpressible(Exception):
+    """The pattern needs the reference ``regex`` engine (e.g. POSIX
+    bracket classes, whose Unicode semantics sre cannot reproduce)."""
 
 
 def _to_sre_source(regex_src: str) -> str:
     """Translate the compiler's IR dialect to stdlib-re syntax:
-    ``(?<name>`` -> ``(?P<name>`` (preserving lookbehinds) and POSIX
-    bracket classes -> explicit ranges.
+    ``(?<name>`` -> ``(?P<name>``, preserving lookbehinds. Raises
+    :class:`_NotSreExpressible` for POSIX classes inside a bracket
+    expression — their reference semantics are Unicode-aware
+    (``[[:alpha:]]`` matches 'é'), which no mechanical sre rewrite can
+    reproduce, so those patterns stay on the regex engine.
 
     Context-aware: a single pass tracks escapes and bracket-class state,
     so literal occurrences of these sequences keep their reference
@@ -150,11 +148,9 @@ def _to_sre_source(regex_src: str) -> str:
             if c == "[" and regex_src.startswith("[:", i):
                 end = regex_src.find(":]", i + 2)
                 if end != -1:
-                    repl = _POSIX_CLASSES.get(regex_src[i : end + 2])
-                    if repl is not None:
-                        out.append(repl)
-                        i = end + 2
-                        continue
+                    # [[:alpha:]], [[:^digit:]], ... — Unicode-aware on
+                    # the reference engine; not sre-expressible
+                    raise _NotSreExpressible(regex_src[i : end + 2])
             if c == "]":
                 in_class = False
             out.append(c)
@@ -214,7 +210,10 @@ class _EnginePattern:
 
 def _compile_preferred(regex_src: str):
     """Compile on the fastest engine whose semantics hold; returns
-    (compiled, flavor, ref_or_None)."""
+    (compiled, flavor, ref_or_None). The reference engine pattern is
+    never compiled eagerly — ``timeout_pattern()`` compiles it lazily
+    on the first timeout-bounded call (most workloads never pay for
+    both engines)."""
     if _ENGINE_PREF != "regex":
         try:
             import warnings
@@ -227,10 +226,7 @@ def _compile_preferred(regex_src: str):
         except Exception:  # noqa: BLE001 — dialect not sre-expressible
             sre_pat = None
         if sre_pat is not None:
-            if _ENGINE_PREF == "sre":
-                return sre_pat, "sre", None
-            # auto: keep the reference engine available for timeout calls
-            return sre_pat, "sre", _regex.compile(regex_src)
+            return sre_pat, "sre", None
     return _regex.compile(regex_src), "regex", None
 
 
@@ -307,6 +303,10 @@ class CompiledPattern:
         match object or None. A timeout routes through the reference
         ``regex`` engine (sre has no per-call timeout)."""
         if timeout is not None:
+            if timeout <= 0:
+                raise ValueError(
+                    f"timeout must be positive seconds or None, got {timeout}"
+                )
             return self.engine.timeout_pattern().search(text, timeout=timeout)
         return self.engine.pattern.search(text)
 

@@ -72,13 +72,19 @@ def patterns_by_file(file: str | None = None) -> dict:
     return dict(by_file[stem])
 
 
+_MERGED: dict[str, str] | None = None
+
+
 def default_patterns() -> dict[str, str]:
     """A fresh copy of the 320 built-in pattern definitions (all files
     merged; sorted by name like the reference's BTreeMap)."""
-    merged: dict[str, str] = {}
-    for pats in _by_file().values():
-        merged.update(pats)
-    return dict(sorted(merged.items()))
+    global _MERGED
+    if _MERGED is None:
+        merged: dict[str, str] = {}
+        for pats in _by_file().values():
+            merged.update(pats)
+        _MERGED = dict(sorted(merged.items()))
+    return dict(_MERGED)
 
 
 if __name__ == "__main__":

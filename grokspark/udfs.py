@@ -64,6 +64,15 @@ EXTRACT_CASTS: dict[str, T.DataType] = {
 MATCHED_FIELD = "_matched"
 
 
+def _validate_timeout(timeout: Optional[float]) -> Optional[float]:
+    """Every kernel factory funnels through this so ``timeout=0`` cannot
+    mean 'no timeout' on one path and 'instant TimeoutError' on another
+    — positive seconds or None, no third meaning."""
+    if timeout is not None and timeout <= 0:
+        raise ValueError(f"timeout must be positive seconds or None, got {timeout}")
+    return timeout
+
+
 def _tokens_to_text(tokens) -> Optional[str]:
     """array<int32> byte-level token ids -> str (UTF-8)."""
     if tokens is None:
@@ -88,24 +97,10 @@ def detokenize_udf() -> "pandas_udf":
 
 def _match_dict(compiled: CompiledPattern, text: Optional[str], timeout: Optional[float]):
     """One row: participating-captures dict, or None on no-match.
-    A per-row timeout expiry is treated as no-match (a pathological row
-    must never fail the whole Spark task); use the status kernels to
-    count timeouts distinctly."""
-    if text is None:
-        return None
-    try:
-        m = compiled.search(text, timeout=timeout)
-    except TimeoutError:
-        return None
-    if m is None:
-        return None
-    eng = compiled.engine
-    if not eng.indices:
-        return {}
-    values = m.group(*eng.indices)
-    if len(eng.indices) == 1:
-        values = (values,)
-    return {k: v for k, v in zip(eng.sorted_names, values) if v is not None}
+    Delegates to the documented parity API (CompiledPattern.
+    match_against — timeout expiry is no-match there too) so the Spark
+    kernels cannot drift from the single-row reference surface."""
+    return None if text is None else compiled.match_against(text, timeout=timeout)
 
 
 def grok_parse_map_udf(
@@ -122,21 +117,21 @@ def grok_parse_map_udf(
     timeout is treated as no-match (documented deviation, off by
     default for reference parity).
     """
-    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+    timeout = _validate_timeout(timeout)
 
     if from_tokens:
 
         @pandas_udf(T.MapType(T.StringType(), T.StringType()))
         def parse(tokens: pd.Series) -> pd.Series:
             return tokens.map(
-                lambda t: _match_dict(spec, _tokens_to_text(t), timeout)
+                lambda t: _match_dict(compiled, _tokens_to_text(t), timeout)
             )
 
         return parse
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def parse(lines: pd.Series) -> pd.Series:
-        return lines.map(lambda s: _match_dict(spec, s, timeout))
+        return lines.map(lambda s: _match_dict(compiled, s, timeout))
 
     return parse
 
@@ -160,7 +155,8 @@ def grok_parse_struct_udf(
     """Parse UDF returning a struct column: every capture key as a
     nullable string field (NULL = group did not participate or line did
     not match) plus ``_matched`` boolean."""
-    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+    timeout = _validate_timeout(timeout)
+    spec = compiled  # picklable as-is: __getstate__ drops engine state
     schema = parse_struct_type(compiled)
     names = list(compiled.capture_names)
     none_row = tuple([None] * len(names)) + (False,)
@@ -253,10 +249,8 @@ def grok_parse_router_udf(
     route dim entry names. Rows whose pattern_name is NULL/unknown get a
     NULL map (unroutable); a per-row timeout is a NULL map too (use the
     status variant to count timeouts distinctly)."""
-    specs = {
-        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
-        for name, c in compiled_by_name.items()
-    }
+    timeout = _validate_timeout(timeout)
+    specs = compiled_by_name  # picklable as-is (engine state dropped)
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def parse(pattern_names: pd.Series, payload: pd.Series) -> pd.Series:
@@ -283,10 +277,8 @@ def grok_parse_router_status_udf(
     whose regex timed out has ``fields = NULL`` (counts as unmatched,
     same as the plain router) AND ``timed_out = true``, so pipelines can
     report timeouts distinctly from genuine no-matches in lineage."""
-    specs = {
-        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
-        for name, c in compiled_by_name.items()
-    }
+    timeout = _validate_timeout(timeout)
+    specs = compiled_by_name
     schema = T.StructType(
         [
             T.StructField(
@@ -336,10 +328,8 @@ def grok_parse_arrow_kernel(
     """
     import pyarrow as pa
 
-    specs = {
-        name: CompiledPattern(c.regex_src, c.aliases, c.extracts)
-        for name, c in compiled_by_name.items()
-    }
+    timeout = _validate_timeout(timeout)
+    specs = compiled_by_name
     out_fields = [
         pa.field("route", pa.string()),
         pa.field("matched", pa.bool_()),
@@ -354,20 +344,7 @@ def grok_parse_arrow_kernel(
     out_schema = pa.schema(out_fields)
 
     def kernel(batches):
-        runtime: dict = {}
-
-        def rt_for(name):
-            rt = runtime.get(name)
-            if rt is None:
-                spec = specs.get(name)
-                if spec is None:
-                    runtime[name] = False
-                    return False
-                eng = spec.engine
-                pat = eng.timeout_pattern() if timeout else eng.pattern
-                rt = (pat.search, eng.indices, eng.sorted_names)
-                runtime[name] = rt
-            return rt
+        rt_for = _router_rt_factory(specs, timeout)
 
         for batch in batches:
             tokens = batch.column(batch.schema.get_field_index("tokens"))
@@ -451,7 +428,8 @@ def grok_match_udf(
 ) -> "pandas_udf":
     """Boolean match test (no capture extraction) — cheapest kernel for
     pure routing/filtering."""
-    spec = CompiledPattern(compiled.regex_src, compiled.aliases, compiled.extracts)
+    timeout = _validate_timeout(timeout)
+    spec = compiled
 
     def _one(s: Optional[str]) -> bool:
         if s is None:

@@ -139,9 +139,50 @@ def test_arrow_kernel_null_tokens_without_status(spark, registry):
 def test_to_sre_source_rewrites():
     assert C._to_sre_source(r"(?<name>x)") == r"(?P<name>x)"
     assert C._to_sre_source(r"(?<=a)(?<!b)") == r"(?<=a)(?<!b)"
-    assert C._to_sre_source(r"[[:digit:]]+") == r"[0-9]+"
-    assert C._to_sre_source(r"[^[:space:]]") == r"[^ \t\r\n\v\f]"
-    assert C._to_sre_source(r"[a[:xdigit:]z]") == r"[a0-9A-Fa-fz]"
+
+
+def test_posix_classes_force_reference_engine():
+    """POSIX bracket classes are Unicode-aware on the reference engine
+    ([[:alpha:]] matches 'é'); no ASCII-range sre rewrite reproduces
+    that, so such patterns must stay on the regex engine."""
+    for src in (r"[[:digit:]]+", r"[^[:space:]]", r"[a[:xdigit:]z]", r"[[:^digit:]]"):
+        with pytest.raises(C._NotSreExpressible):
+            C._to_sre_source(src)
+    reg = GrokRegistry.empty()
+    reg.add_pattern("ALPHAS", r"[[:alpha:]]+")
+    compiled = reg.compile("v=%{ALPHAS:w}")
+    assert compiled.engine.flavor == "regex"
+    # Unicode semantics preserved (the round-1 ASCII translation
+    # would have stopped at 'caf')
+    assert compiled.match_against("v=café!") == {"w": "café"}
+
+
+def test_timeout_zero_rejected_everywhere():
+    """timeout=0 must be one thing on every path: an error (previously
+    'no timeout' in router/arrow kernels but instant TimeoutError in
+    the scalar paths)."""
+    from grokspark.udfs import (
+        grok_match_udf,
+        grok_parse_arrow_kernel,
+        grok_parse_map_udf,
+        grok_parse_router_status_udf,
+        grok_parse_router_udf,
+        grok_parse_struct_udf,
+    )
+
+    compiled = GrokRegistry.with_default_patterns().compile("%{INT:n}")
+    with pytest.raises(ValueError, match="positive"):
+        compiled.search("42", timeout=0.0)
+    for factory in (grok_parse_map_udf, grok_parse_struct_udf, grok_match_udf):
+        with pytest.raises(ValueError, match="positive"):
+            factory(compiled, timeout=0.0)
+    for factory in (
+        grok_parse_router_udf,
+        grok_parse_router_status_udf,
+        grok_parse_arrow_kernel,
+    ):
+        with pytest.raises(ValueError, match="positive"):
+            factory({"p": compiled}, timeout=0.0)
 
 
 def test_to_sre_source_preserves_literals():
