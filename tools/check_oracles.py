@@ -39,11 +39,14 @@ def _norm(v):
 
 
 def main() -> int:
+    import time
+
     import duckdb
 
     import __spark_entry__ as entry
     from grokspark.session import get_spark
 
+    t_start = time.monotonic()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -55,11 +58,14 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()
+    t0 = time.monotonic()
     oracles = entry.oracle_sql()
+    print(f"setup {time.monotonic() - t_start:6.1f}s (oracle_sql() build {time.monotonic() - t0:.1f}s)")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
@@ -68,10 +74,12 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        t_spark = time.monotonic() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [spark {t_spark:.1f}s]")
             continue
+        t0 = time.monotonic()
         try:
             rel = con.sql(sql)
             duck_cols = [d[0] for d in rel.description]
@@ -80,6 +88,7 @@ def main() -> int:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        t_duck = time.monotonic() - t0
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
@@ -96,9 +105,12 @@ def main() -> int:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"OK    {name}: {len(spark_rows)} rows")
+            print(
+                f"OK    {name}: {len(spark_rows)} rows"
+                f" [spark {t_spark:.1f}s duck {t_duck:.1f}s]"
+            )
 
-    print(f"\n{len(failures)} failures")
+    print(f"\n{len(failures)} failures  total {time.monotonic() - t_start:.1f}s")
     return 1 if failures else 0
 
 
