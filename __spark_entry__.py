@@ -40,18 +40,34 @@ from pyspark.sql.window import Window
 
 GROK_N = 2000
 
+# The sf-proportional grok query scales its corpus off the documents
+# table of the sf dir under test; oracle_sql() has no sf parameter, so
+# the oracle side reads the dir from this env var (the driver's gate
+# runs at sf0.01 — the default; tools/check_oracles.py exports its own
+# sf_dir so the replica stays consistent at any scale).
+ORACLE_SF_ENV = "SPARK_GRAFT_ORACLE_SF"
+_DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
 
-def _grok_seq_df(spark: SparkSession) -> DataFrame:
+
+def _sf_grok_n(sf_dir: str) -> int:
+    """Corpus rows for the sf-scaled grok query: 40x the documents
+    rowcount of the sf dir (parquet metadata only — no data read)."""
+    import pyarrow.parquet as pq
+
+    return 40 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _grok_seq_df(spark: SparkSession, n: int = GROK_N) -> DataFrame:
     from grokspark.datagen import iter_rows
 
     return spark.createDataFrame(
-        list(iter_rows(GROK_N)),
+        list(iter_rows(n)),
         schema="doc_id string, tokens array<int>, n_tok int, source string",
     )
 
 
-@functools.lru_cache(maxsize=1)
-def _grok_oracle_rows() -> dict[str, list[tuple]]:
+@functools.lru_cache(maxsize=4)
+def _grok_oracle_rows(n: int = GROK_N) -> dict[str, list[tuple]]:
     """Single-process reference run over the same corpus (the stand-in
     for the Rust reference's semantics; see FIXTURES.md §5)."""
     from grokspark import GrokRegistry
@@ -72,7 +88,7 @@ def _grok_oracle_rows() -> dict[str, list[tuple]]:
     bacula_matched = 0
     bacula_jobids: set[str] = set()
 
-    for row in iter_rows(GROK_N):
+    for row in iter_rows(n):
         src = row["source"]
         route = route_of.get(src)
         line = bytes(row["tokens"]).decode("utf-8")
@@ -195,6 +211,19 @@ def q_grok_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.pipeline import route_match_counts
 
     return route_match_counts(spark, _grok_seq_df(spark))
+
+
+def q_grok_route_counts_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf-PROPORTIONAL grok coverage: the same parse->enrich->route->
+    count job over a corpus whose size scales with the sf dir (40x its
+    documents rowcount — 20k rows at the gate's sf0.01, 200k at sf0.1),
+    so larger scale factors exercise proportionally more parse volume.
+    Oracle: the pure-Python reference run over the identical generator
+    at the same n (oracle side reads the sf dir from
+    $SPARK_GRAFT_ORACLE_SF, default sf0.01 = the driver's gate)."""
+    from grokspark.pipeline import route_match_counts
+
+    return route_match_counts(spark, _grok_seq_df(spark, _sf_grok_n(sf_dir)))
 
 
 def q_grok_unroutable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # grok pipeline family
         "grok_route_counts": q_grok_route_counts,
+        "grok_route_counts_sf": q_grok_route_counts_sf,
         "grok_unroutable": q_grok_unroutable,
         "grok_apache_verb_status": q_grok_apache_verb_status,
         "grok_elb_backend": q_grok_elb_backend,
@@ -760,13 +790,17 @@ _JACCARD_PAIRS_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     g = _grok_oracle_rows()
+    g_sf = _grok_oracle_rows(
+        _sf_grok_n(os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF))
+    )
+    route_cols = [("route", "VARCHAR"), ("matched", "BOOLEAN"), ("n", "BIGINT")]
     return {
         # grok family: independent pure-Python reference run as VALUES
-        "grok_route_counts": _values_sql(
-            g["route_counts"],
-            [("route", "VARCHAR"), ("matched", "BOOLEAN"), ("n", "BIGINT")],
-        ),
+        "grok_route_counts": _values_sql(g["route_counts"], route_cols),
+        "grok_route_counts_sf": _values_sql(g_sf["route_counts"], route_cols),
         "grok_unroutable": _values_sql(
             g["unroutable"], [("source", "VARCHAR"), ("n", "BIGINT")]
         ),

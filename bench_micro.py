@@ -87,6 +87,24 @@ def scenarios() -> dict[str, float]:
     out["compile_bacula_full"] = bench(lambda: g.compile("%{BACULA_LOGLINE}"))
     out["compile_bacula_alias_only"] = bench(lambda: g.compile("%{BACULA_LOGLINE}", True))
 
+    # SimHash kernel: scalar reference vs the vectorized batch used by
+    # the Spark UDF (single core, µs per document on a 60-word doc —
+    # the batch path must stay >= 5x the scalar one)
+    import random
+
+    from grokspark.operators.dedup import simhash_batch, simhash_py
+
+    rng = random.Random(42)
+    vocab = [f"word{i:03d}" for i in range(400)] + ["the", "and", "of", "für"]
+    docs = [" ".join(rng.choices(vocab, k=60)) for _ in range(512)]
+
+    def scalar_all():
+        for d in docs:
+            simhash_py(d)
+
+    out["simhash_scalar_per_doc"] = bench(scalar_all) / len(docs)
+    out["simhash_batch_per_doc"] = bench(lambda: simhash_batch(docs)) / len(docs)
+
     return out
 
 

@@ -25,6 +25,7 @@ from grokspark.compiler import (
     GenericCompilationFailure,
     GrokError,
     GrokRegistry,
+    Matches,
     RecursionTooDeep,
     RegexCompilationFailed,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "InvalidCharacter",
     "InvalidPattern",
     "InvalidPatternDefinition",
+    "Matches",
     "RecursionTooDeep",
     "RegexCompilationFailed",
     "default_patterns",

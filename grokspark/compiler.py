@@ -54,6 +54,7 @@ __all__ = [
     "RegexCompilationFailed",
     "GenericCompilationFailure",
     "CompiledPattern",
+    "Matches",
     "GrokRegistry",
 ]
 
@@ -259,6 +260,25 @@ def _engine_compile(regex_src: str, aliases: dict[str, str]) -> _EnginePattern:
     return engine
 
 
+class Matches(dict):
+    """The reference's ``Matches`` view (/root/reference/src/lib.rs:115):
+    a plain dict of participating captures (sorted key order) that also
+    remembers which pattern produced it — ``Matches::pattern()``
+    (lib.rs:179) maps to the ``.pattern`` property. Equality, iteration
+    and serialization are inherited from dict, so downstream code (and
+    the Arrow kernels) treat it as a normal mapping."""
+
+    __slots__ = ("_pattern",)
+
+    def __init__(self, values, pattern: "CompiledPattern") -> None:
+        super().__init__(values)
+        self._pattern = pattern
+
+    @property
+    def pattern(self) -> "CompiledPattern":
+        return self._pattern
+
+
 @dataclass
 class CompiledPattern:
     """A compiled grok expression: picklable spec, lazily engine-compiled.
@@ -310,12 +330,14 @@ class CompiledPattern:
             return self.engine.timeout_pattern().search(text, timeout=timeout)
         return self.engine.pattern.search(text)
 
-    def match_against(self, text: str, timeout: Optional[float] = None) -> Optional[dict[str, str]]:
-        """Match and return ``{key: value}`` for participating captures
-        only (sorted key order), or None if the text does not match at
-        all. This is the reference `Matches.iter()` view. A per-row
-        timeout expiry is treated as no-match (use ``search`` directly
-        to observe the raised ``TimeoutError``)."""
+    def match_against(self, text: str, timeout: Optional[float] = None) -> Optional["Matches"]:
+        """Match and return a ``Matches`` dict of ``{key: value}`` for
+        participating captures only (sorted key order), or None if the
+        text does not match at all. This is the reference
+        `Matches.iter()` view; ``result.pattern`` is the reference's
+        ``Matches::pattern()`` back-reference. A per-row timeout expiry
+        is treated as no-match (use ``search`` directly to observe the
+        raised ``TimeoutError``)."""
         try:
             m = self.search(text, timeout=timeout)
         except TimeoutError:
@@ -323,7 +345,7 @@ class CompiledPattern:
         if m is None:
             return None
         eng = self.engine
-        out: dict[str, str] = {}
+        out = Matches((), self)
         values = m.group(*eng.indices) if eng.indices else ()
         if len(eng.indices) == 1:
             values = (values,)

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "simhash_py",
+    "simhash_batch",
     "duplicate_clusters",
     "embedding_cosine_pairs",
     "cosine",
@@ -286,36 +287,44 @@ def simhash_signatures(
 
     @pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        n_docs = len(texts)
-        counts = np.zeros(n_docs, dtype=np.int64)
-        all_words: list[bytes] = []
-        for i, t in enumerate(texts):
-            ws = (t or "").lower().split()
-            counts[i] = len(ws)
-            for w in ws:
-                all_words.append(w.encode("utf-8"))
-        out = np.zeros(n_docs, dtype=np.int64)
-        nz = counts > 0
-        if all_words:
-            hs = _fnv1a_batch(all_words)
-            bits_m = (
-                (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64)
-            # segmented per-doc vote sums: empty docs are excluded, so
-            # segment starts are strictly increasing and reduceat's
-            # empty-segment quirk never applies
-            offsets = np.zeros(n_docs, dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
-            sums = np.add.reduceat(bits_m, offsets[nz], axis=0)
-            votes = 2 * sums - counts[nz, None]
-            sigs = (
-                (votes > 0).astype(np.uint64)
-                << np.arange(bits, dtype=np.uint64)[None, :]
-            ).sum(axis=1, dtype=np.uint64)
-            out[nz] = sigs.view(np.int64)
-        return pd.Series(out)
+        return pd.Series(simhash_batch(texts, bits))
 
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_batch(texts, bits: int = 64) -> "np.ndarray":
+    """SimHash a whole batch of texts at once (signed int64 array,
+    bit-identical to ``simhash_py`` per doc — property-tested). This is
+    the kernel behind ``simhash_signatures``; importable standalone for
+    tests and bench_micro's per-core scenarios."""
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    all_words: list[bytes] = []
+    for i, t in enumerate(texts):
+        ws = (t or "").lower().split()
+        counts[i] = len(ws)
+        for w in ws:
+            all_words.append(w.encode("utf-8"))
+    out = np.zeros(n_docs, dtype=np.int64)
+    nz = counts > 0
+    if all_words:
+        hs = _fnv1a_batch(all_words)
+        bits_m = (
+            (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        # segmented per-doc vote sums: empty docs are excluded, so
+        # segment starts are strictly increasing and reduceat's
+        # empty-segment quirk never applies
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        sums = np.add.reduceat(bits_m, offsets[nz], axis=0)
+        votes = 2 * sums - counts[nz, None]
+        sigs = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(bits, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[nz] = sigs.view(np.int64)
+    return out
 
 
 def _fnv1a(s: str) -> int:

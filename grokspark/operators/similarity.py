@@ -16,7 +16,9 @@
 from __future__ import annotations
 
 import itertools
+import math
 import random
+import warnings
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,12 +32,46 @@ __all__ = [
     "lsh_bucket_col",
     "bucket_of",
     "hamming_probes",
+    "recommended_n_planes",
     "build_lsh_index",
     "lsh_index_topk",
     "lsh_bucketed_topk",
     "knn_join",
     "embedding_lsh_pairs",
 ]
+
+# dim * n_planes above which the per-plane literal-array fold would
+# bloat the plan (and its codegen) — switch to a broadcast numpy matrix
+# inside an Arrow-batched pandas UDF instead
+LSH_UDF_LITERAL_THRESHOLD = 4096
+
+# candidate joins go effectively quadratic when buckets get this full
+MAX_BUCKET_ROWS = 10_000
+
+
+def recommended_n_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Hyperplane count that keeps the EXPECTED bucket population near
+    ``target_bucket_rows``: 2^n_planes buckets over n_rows vectors ->
+    n_planes = ceil(log2(n_rows / target)). The LSH candidate join is
+    ~quadratic WITHIN a bucket, so bucket population — not corpus size
+    — is what must stay bounded; n_planes has to GROW with the corpus
+    (e.g. 1e9 rows at 1k/bucket -> 20 planes / 1M buckets)."""
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
+def _warn_if_buckets_overfull(n_rows: int, n_planes: int, op: str) -> None:
+    expected = n_rows / (1 << n_planes)
+    if expected > MAX_BUCKET_ROWS:
+        warnings.warn(
+            f"{op}: ~{expected:,.0f} vectors per LSH bucket expected "
+            f"({n_rows:,} rows over 2^{n_planes} buckets) — the within-"
+            f"bucket candidate join is quadratic at this occupancy; use "
+            f"n_planes>={recommended_n_planes(n_rows)} (or n_planes=None "
+            f"to auto-size)",
+            stacklevel=3,
+        )
 
 
 def ann_brute_force_topk(
@@ -108,14 +144,48 @@ def hamming_probes(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
     return sorted({qb ^ m for m in _probe_masks(n_planes, probe_hamming)})
 
 
+def _lsh_bucket_udf(planes: list[list[float]]):
+    """Bucket assignment via one broadcast numpy matrix product per
+    Arrow batch — the high-dim path: ``lsh_bucket_col`` embeds
+    dim x n_planes float literals in the plan, which past
+    ``LSH_UDF_LITERAL_THRESHOLD`` bloats analysis/codegen. numpy's
+    blocked summation can differ from the expression fold in the last
+    ulp, so a dot product within ~1e-12 of zero may land in a
+    different bucket than the fold path — irrelevant for recall (both
+    are valid LSH assignments) but the reason the exact-oracle queries
+    stay on the fold path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (np.int64(1) << np.arange(len(planes))).astype(np.int64)
+
+    def bucket(vecs):
+        arr = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(((arr @ mat >= 0) * weights).sum(axis=1))
+
+    return pandas_udf(bucket, "long")
+
+
 def _bucketed_vectors(
-    df: DataFrame, vec_col: str, id_col: str, planes: list[list[float]]
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    via_udf: Optional[bool] = None,
 ) -> DataFrame:
     """(id, vec, _bucket) — the shared first stage of every bucket-LSH
-    batch operator."""
-    return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("_bucket", lsh_bucket_col("vec", planes))
+    batch operator. ``via_udf=None`` auto-selects: the JVM literal fold
+    below ``LSH_UDF_LITERAL_THRESHOLD`` plan literals (bit-reproducible
+    vs driver-side ``bucket_of``), the broadcast-matrix pandas UDF
+    above it."""
+    if via_udf is None:
+        via_udf = len(planes) * len(planes[0]) > LSH_UDF_LITERAL_THRESHOLD
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if via_udf:
+        return base.withColumn("_bucket", _lsh_bucket_udf(planes)(F.col("vec")))
+    return base.withColumn("_bucket", lsh_bucket_col("vec", planes))
 
 
 def _bucket_candidate_pairs(
@@ -223,7 +293,7 @@ def lsh_index_topk(
 def knn_join(
     df: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: Optional[int] = 8,
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -240,7 +310,20 @@ def knn_join(
     come from one equi-join on the bucket (no inequality/cartesian
     join), then embeddings join back narrowly for scoring, then a
     per-id top-k window. Semantically identical to filtering all pairs
-    on hamming(bucket_a, bucket_b) <= h, without the all-pairs plan."""
+    on hamming(bucket_a, bucket_b) <= h, without the all-pairs plan.
+
+    ``n_planes`` must GROW with corpus size — the candidate join is
+    quadratic within a bucket, so it's the expected bucket population
+    n_rows/2^n_planes that has to stay bounded (see
+    ``recommended_n_planes``). Pass ``n_planes=None`` to auto-size
+    from the corpus rowcount; an explicit value that leaves buckets
+    overfull warns loudly. Either way this op runs one extra count()
+    of the id column up front — noise next to the join itself."""
+    n_rows = df.count()
+    if n_planes is None:
+        n_planes = recommended_n_planes(n_rows)
+    else:
+        _warn_if_buckets_overfull(n_rows, n_planes, "knn_join")
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
@@ -269,7 +352,7 @@ def knn_join(
 def embedding_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    n_planes: int = 8,
+    n_planes: Optional[int] = 8,
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -283,7 +366,14 @@ def embedding_lsh_pairs(
     verified by exact cosine >= threshold (precision is exact; recall
     is governed by n_planes/probe_hamming and measured against the
     baseline in tests). Deterministic: the candidate rule itself is
-    recomputable (the driver oracle mirrors it in SQL)."""
+    recomputable (the driver oracle mirrors it in SQL). ``n_planes``
+    sizing follows the same rule as ``knn_join`` (None = auto; overfull
+    buckets warn)."""
+    n_rows = df.count()
+    if n_planes is None:
+        n_planes = recommended_n_planes(n_rows)
+    else:
+        _warn_if_buckets_overfull(n_rows, n_planes, "embedding_lsh_pairs")
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )

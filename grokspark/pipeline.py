@@ -45,12 +45,13 @@ Dataflow (all Catalyst-planned except the fused parse kernel):
 
 Three execution modes (PipelineConfig):
 
-- default: one unit per (route, pattern) with independent staged
-  commits. Finest-grained resume, but each unit filters the root scan —
-  N patterns = N input scans. Keep for small pattern sets / selective
-  re-runs.
-- ``single_pass=True``: one scan, one multi-pattern router parse, one
-  dynamic-partition write. Fastest, one commit, coarse resume.
+- ``single_pass`` (DEFAULT): one scan, one multi-pattern router parse,
+  one dynamic-partition write. Fastest, one commit, coarse resume —
+  the scale-safe default for multi-pattern runs.
+- ``per_pattern=True`` (opt-in): one unit per (route, pattern) with
+  independent staged commits. Finest-grained resume, but each unit
+  filters the root scan — N patterns = N input scans. Keep for small
+  pattern sets / selective re-runs.
 - ``range_units=K``: **unit = input partition-range** — the 10^12-scale
   design. The input file set is split into K size-balanced contiguous
   ranges; each range is scanned ONCE, router-parsed for all patterns,
@@ -108,11 +109,18 @@ class PipelineConfig:
     resume: bool = True
     # write sinks at all (False = counts-only dry run for benches)
     write_sinks: bool = True
-    # single_pass=True: one scan + one multi-pattern parse + one
-    # dynamic-partition write (fastest; one commit for all sinks).
-    # False (default): one unit per (route, pattern) with independent
-    # staging commits and per-unit resume (finer-grained durability).
-    single_pass: bool = False
+    # Mode selection, most specific wins: range_units > per_pattern >
+    # single_pass. The DEFAULT is single-pass (one scan, one
+    # multi-pattern router parse, one dynamic-partition write) — the
+    # scale-safe choice for multi-pattern runs, since the per-pattern
+    # mode re-scans the input once PER pattern. For 10^12-row inputs
+    # prefer range_units, which adds per-range resume and observe-based
+    # counts on top of the one total scan.
+    single_pass: bool = True
+    # per_pattern=True: one unit per (route, pattern) with independent
+    # staging commits and per-unit resume (finest-grained durability /
+    # selective re-runs; costs one input scan per pattern — opt-in).
+    per_pattern: bool = False
     # range_units=K: unit = input file-range (K size-balanced contiguous
     # ranges, each scanned once and committed independently) — one total
     # input scan AND per-unit resume. Requires a file-backed input.
@@ -311,7 +319,7 @@ class GrokPipeline:
         nparts = cfg.parse_partitions or self.spark.sparkContext.defaultParallelism
         route_of = {r["pattern_name"]: r["route"] for r in self.routes}
 
-        if cfg.single_pass:
+        if cfg.single_pass and not cfg.per_pattern:
             self._run_single_pass(enriched, nparts, manifest, result, route_of)
             return self._finish(result, t0)
 
@@ -504,26 +512,7 @@ class GrokPipeline:
         from pyspark.sql import Observation
 
         cfg = self.config
-        # ranged mode re-plans the scan per file-range, so the input
-        # must be a BARE parquet relation — any transformation (filter,
-        # projection, mapInPandas ingest like read_raw_lines) or other
-        # format would be silently dropped by a naive re-read. Fail
-        # loudly instead: materialize such inputs to parquet first.
-        analyzed = seq_df._jdf.queryExecution().analyzed()
-        first_line = analyzed.toString().splitlines()[0].lower()
-        if analyzed.nodeName() != "LogicalRelation" or "parquet" not in first_line:
-            raise ValueError(
-                "range_units requires the input to be an untransformed "
-                f"parquet scan (got plan node {analyzed.nodeName()!r}); "
-                "write transformed/ingested inputs to parquet first, or "
-                "use single_pass=True which preserves the caller's plan"
-            )
-        files = sorted(seq_df.inputFiles())
-        if not files:
-            raise ValueError(
-                "range_units requires a file-backed input "
-                "(DataFrame.inputFiles() is empty for this plan)"
-            )
+        files = self._validate_ranged_input(seq_df)
         ranges = _split_files_by_size(files, cfg.range_units)
         patterns = sorted(self.pattern_exprs)
         route_of = {r["pattern_name"]: r["route"] for r in self.routes}
@@ -640,6 +629,77 @@ class GrokPipeline:
             manifest.mark(
                 unit, metrics=metrics, lineage=lineage, files_sig=files_sig
             )
+
+    def _validate_ranged_input(self, seq_df: DataFrame) -> list[str]:
+        """Ranged mode re-plans the scan per file-range, so the input
+        must be (at most a column-pruning projection over) a bare
+        parquet relation — a filter, computed column, mapInPandas
+        ingest (read_raw_lines), or other format would be silently
+        dropped by the per-range re-read. Fail loudly instead:
+        materialize such inputs to parquet first, or use
+        single_pass=True which preserves the caller's plan.
+
+        Detection walks the analyzed plan (pruning-only Project nodes
+        are fine: the re-read restores a column superset; a Project
+        ADDING columns is caught by the schema-subset check below).
+        The plan walk uses JVM internals, so if a Spark upgrade breaks
+        it we fall back to the schema check alone and WARN that
+        dropped-filter detection is off rather than bricking the mode."""
+        import warnings
+
+        node_ok: Optional[bool]
+        try:
+            node = seq_df._jdf.queryExecution().analyzed()
+            while node.nodeName() == "Project":
+                node = node.children().apply(0)
+            node_ok = (
+                node.nodeName() == "LogicalRelation"
+                and "parquet" in node.toString().splitlines()[0].lower()
+            )
+            node_name = node.nodeName()
+        except Exception:  # pragma: no cover - Spark-version drift
+            node_ok, node_name = None, "<plan introspection unavailable>"
+            warnings.warn(
+                "range_units could not inspect the logical plan on this "
+                "Spark version; a filtered input would NOT be detected "
+                "(its filter would be dropped by the per-range re-read). "
+                "Only schema validation is in effect.",
+                stacklevel=2,
+            )
+        if node_ok is False:
+            raise ValueError(
+                "range_units requires the input to be an untransformed "
+                f"parquet scan (got plan node {node_name!r}); "
+                "write transformed/ingested inputs to parquet first, or "
+                "use single_pass=True which preserves the caller's plan"
+            )
+        files = sorted(seq_df.inputFiles())
+        if not files:
+            raise ValueError(
+                "range_units requires a file-backed input "
+                "(DataFrame.inputFiles() is empty for this plan)"
+            )
+        # schema round-trip: every input column must exist with the same
+        # type in the files themselves, else the re-read would drop or
+        # retype it (catches computed/renamed columns; a same-name
+        # same-type replacement is inherently undetectable here)
+        file_fields = {
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.read.parquet(*files).schema.fields
+        }
+        missing = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in seq_df.schema.fields
+            if (f.name, f.dataType.simpleString()) not in file_fields
+        ]
+        if missing:
+            raise ValueError(
+                f"range_units input has columns not present in its "
+                f"parquet files (computed or retyped: {missing}); the "
+                f"per-range re-read would drop them — materialize the "
+                f"transformed input to parquet first"
+            )
+        return files
 
     def _publish_range(self, unit: str, range_id: int) -> None:
         """Move each (route, pattern) subtree of the range's staging dir

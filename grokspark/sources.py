@@ -47,7 +47,10 @@ def read_sequences(spark: SparkSession, location: str) -> DataFrame:
 
 
 def read_raw_lines(
-    spark: SparkSession, path: str, source: Optional[str] = None
+    spark: SparkSession,
+    path: str,
+    source: Optional[str] = None,
+    id_mode: str = "content",
 ) -> DataFrame:
     """Ingest adapter: raw text log files -> the tokenized-sequence
     table shape ``(doc_id, tokens: array<int>, n_tok, source)`` the
@@ -55,19 +58,32 @@ def read_raw_lines(
     library (who has plain ``*.log`` files, not pre-tokenized tables)
     plugs straight into grokspark.
 
-    Encoding runs vectorized in mapInPandas (one Arrow pass — the same
-    place a real tokenizer would run). ``source`` is a fixed label; if
-    None, each row gets its file's basename sans extension.
+    Encoding runs vectorized in mapInPandas (one Arrow pass, pandas
+    column ops — no per-row Python loop; the same place a real
+    tokenizer would run). ``source`` is a fixed label; if None, each
+    row gets its file's basename sans extension.
 
-    doc_id is ``<file-basename>#<partition>-<offset>`` — deterministic
-    for a fixed file set and split plan (line offsets are per input
-    split, which Spark derives from file sizes). Pipelines that need a
-    content-stable id should derive one downstream (e.g.
-    ``fingerprint``)."""
+    ``id_mode`` picks the doc_id scheme:
+
+    - ``"content"`` (default): ``<basename>#<sha1(basename + line)>``
+      — stable across input split plans, so re-ingesting the same
+      files after a file-size/config change (which re-splits them)
+      yields identical ids, and doc_id-keyed dedup/resume downstream
+      keeps working. Byte-identical duplicate lines in the same file
+      coalesce to one id BY DESIGN (same content, one document);
+      pipelines that must preserve such duplicates as distinct rows
+      need the positional scheme.
+    - ``"split"``: ``<basename>#<partition>-<offset>`` — positionally
+      unique, but deterministic only for a fixed file set AND split
+      plan (line offsets are per input split, which Spark derives from
+      file sizes)."""
+    import hashlib
     import os
 
     import pandas as pd
 
+    if id_mode not in ("content", "split"):
+        raise ValueError(f"id_mode must be 'content' or 'split', got {id_mode!r}")
     lines = spark.read.text(path).withColumn("_file", F.input_file_name())
     fixed_source = source
 
@@ -77,21 +93,32 @@ def read_raw_lines(
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         offset = 0
         for pdf in batches:
-            out_rows = []
-            for value, fname in zip(pdf["value"], pdf["_file"]):
-                base = os.path.basename(fname)
-                stem = base.rsplit(".", 1)[0]
-                tokens = list((value or "").encode("utf-8"))
-                out_rows.append(
-                    {
-                        "doc_id": f"{base}#{pid}-{offset}",
-                        "tokens": tokens,
-                        "n_tok": len(tokens),
-                        "source": fixed_source if fixed_source is not None else stem,
-                    }
+            values = pdf["value"].fillna("")
+            encoded = values.str.encode("utf-8")
+            basenames = pdf["_file"].map(os.path.basename)
+            if id_mode == "content":
+                keys = (basenames + "\x00" + values).str.encode("utf-8")
+                ids = basenames.str.cat(
+                    keys.map(lambda b: hashlib.sha1(b).hexdigest()), sep="#"
                 )
-                offset += 1
-            yield pd.DataFrame(out_rows)
+            else:
+                idx = pd.RangeIndex(offset, offset + len(pdf))
+                ids = basenames.str.cat(
+                    pd.Series(f"{pid}-" + idx.astype(str), index=pdf.index), sep="#"
+                )
+                offset += len(pdf)
+            if fixed_source is not None:
+                sources = pd.Series(fixed_source, index=pdf.index)
+            else:
+                sources = basenames.str.rsplit(".", n=1).str[0]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "tokens": encoded.map(list),
+                    "n_tok": encoded.str.len().astype("int32"),
+                    "source": sources,
+                }
+            )
 
     return lines.mapInPandas(
         encode, schema="doc_id string, tokens array<int>, n_tok int, source string"

@@ -36,6 +36,7 @@ __all__ = [
     "read_sequence_stream",
     "stream_windowed_route_counts",
     "stream_first_seen",
+    "first_seen_filter",
     "stream_route_sinks",
 ]
 
@@ -174,33 +175,58 @@ def stream_route_sinks(
     )
 
 
-_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
 _FIRST_SEEN_OUT = "doc_id string, source string, n_tok int"
+FIRST_SEEN_BUCKETS = 64
 
 
-def stream_first_seen(stream_df: DataFrame) -> DataFrame:
-    """Custom stateful operator: emit each doc_id only the first time it
-    is ever seen (exactly-once projection over an at-least-once
-    stream). State per source = set of seen doc_ids.
+def first_seen_filter(seen: set, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure per-group step of ``stream_first_seen``: keep rows whose
+    ``_digest`` is not in ``seen``, mutate ``seen`` to include them.
+    Split out so the state-growth contract is unit-testable without a
+    state store: after any replay sequence, ``len(seen)`` equals the
+    number of DISTINCT digests routed to this group — O(new ids per
+    bucket), never O(batches) or O(corpus)."""
+    fresh = pdf[~pdf["_digest"].isin(seen)].drop_duplicates(subset=["_digest"])
+    seen.update(int(d) for d in fresh["_digest"])
+    return fresh
 
-    At real scale the state key would be (source, hash-bucket) and the
-    seen-set a bloom filter checkpointed by the state store; the
-    operator shape (applyInPandasWithState) is identical.
-    """
+
+def stream_first_seen(
+    stream_df: DataFrame, n_buckets: int = FIRST_SEEN_BUCKETS
+) -> DataFrame:
+    """Custom stateful operator: emit each (source, doc_id) only the
+    first time it is ever seen (exactly-once projection over an
+    at-least-once stream).
+
+    State design for scale: the group key is ``(source, hash-bucket)``
+    — the corpus's id space is sharded over ``n_buckets`` groups per
+    source, so no single group's state grows with the corpus, and a
+    micro-batch round-trips only the buckets its rows actually touch
+    (1/n_buckets of the id space each, not one giant per-source list).
+    The state itself stores fixed-width 8-byte xxhash64 digests of the
+    doc_id, not variable-length id strings. A digest collision within
+    one (source, bucket) group would drop a genuinely-new id; the
+    probability is ~n^2/2^64 over the ids of one source — negligible
+    against at-least-once duplication rates, and the trade is what
+    bounds state width. Raise ``n_buckets`` with corpus size (state
+    per group ~ 8 bytes x ids_per_source / n_buckets); a Bloom filter
+    in the same keying drops the constant further if needed."""
+    keyed = stream_df.withColumn("_digest", F.xxhash64("doc_id")).withColumn(
+        "_bucket", F.pmod(F.col("_digest"), F.lit(n_buckets)).cast("int")
+    )
 
     def dedup(
         key, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
         for pdf in batches:
-            fresh = pdf[~pdf["doc_id"].isin(seen)]
-            fresh = fresh.drop_duplicates(subset=["doc_id"])
-            seen.update(fresh["doc_id"])
+            fresh = first_seen_filter(seen, pdf)
             if len(fresh):
                 yield fresh[["doc_id", "source", "n_tok"]]
         state.update((list(seen),))
 
-    return stream_df.groupBy("source").applyInPandasWithState(
+    return keyed.groupBy("source", "_bucket").applyInPandasWithState(
         dedup,
         outputStructType=_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,

@@ -13,7 +13,11 @@ from grokspark import (
     GrokRegistry,
 )
 
-GOLDEN_DIR = Path("/root/reference/testdata")
+# vendored copies of the reference's golden IR files, so the suite
+# runs standalone; when the reference checkout is present the vendored
+# bytes are themselves verified against it (test below)
+GOLDEN_DIR = Path(__file__).parent / "golden"
+REFERENCE_GOLDEN_DIR = Path("/root/reference/testdata")
 
 MAC_PATTERNS = {
     "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
@@ -228,6 +232,18 @@ def test_compile_golden_ir(expr, alias_only, golden):
     assert p.regex_src == expected
 
 
+@pytest.mark.parametrize(
+    "golden", ["BACULA_LOGLINE", "BACULA_LOGLINE.aliasesonly", "ELB_ACCESS_LOG"]
+)
+def test_vendored_goldens_match_reference(golden):
+    """The vendored golden files must stay byte-equal to the reference
+    checkout's (skipped when the reference isn't present)."""
+    ref = REFERENCE_GOLDEN_DIR / golden
+    if not ref.exists():
+        pytest.skip("reference checkout not present")
+    assert (GOLDEN_DIR / golden).read_bytes() == ref.read_bytes()
+
+
 def test_empty_compile_error():
     with pytest.raises(CompiledPatternIsEmpty):
         GrokRegistry().compile("")
@@ -319,3 +335,18 @@ def test_all_builtins_compile_under_auto_engine():
     assert sum(flavors.values()) == len(g.patterns)
     # the overwhelming majority should take the fast path
     assert flavors["sre"] > 250, flavors
+
+
+def test_matches_pattern_backreference():
+    """match_against returns a Matches view that behaves as a plain
+    dict AND carries the reference's Matches::pattern() back-reference
+    (/root/reference/src/lib.rs:179)."""
+    from grokspark import Matches
+
+    g = GrokRegistry.with_default_patterns()
+    p = g.compile("%{WORD:w} %{INT:n}")
+    m = p.match_against("hello 42")
+    assert isinstance(m, Matches)
+    assert m == {"w": "hello", "n": "42"}  # dict equality unchanged
+    assert m.pattern is p
+    assert dict(m) == {"w": "hello", "n": "42"}

@@ -302,3 +302,72 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     df = spark.createDataFrame(chain, "id_a string, id_b string")
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(df, max_iterations=2)
+
+
+def test_n_planes_guard_and_autosizing(spark, emb):
+    """Bucket-occupancy math: recommended_n_planes keeps expected
+    population near target; overfull explicit settings warn; None
+    auto-sizes."""
+    import warnings as w
+
+    from grokspark.operators import knn_join
+    from grokspark.operators.similarity import (
+        MAX_BUCKET_ROWS,
+        _warn_if_buckets_overfull,
+        recommended_n_planes,
+    )
+
+    assert recommended_n_planes(1_000) == 1
+    assert recommended_n_planes(1_000_000_000, 1024) == 20
+    assert 1_000_000_000 / (1 << 20) < 1024
+
+    with pytest.warns(UserWarning, match="quadratic at this occupancy"):
+        _warn_if_buckets_overfull(MAX_BUCKET_ROWS * 4, 1, "op")
+    with w.catch_warnings():
+        w.simplefilter("error")
+        _warn_if_buckets_overfull(MAX_BUCKET_ROWS, 4, "op")  # fine: no warning
+
+    # auto-sizing end-to-end on the testdata (500 rows -> 1 plane)
+    auto = knn_join(emb, k=1, n_planes=None, probe_hamming=0)
+    assert auto.count() > 0
+
+
+def test_lsh_bucket_udf_path_matches_fold(spark, emb):
+    """The high-dim broadcast-matrix UDF bucket must agree with the
+    plan-literal fold on the testdata embeddings (sign margins ~1e-3,
+    far beyond any summation-order ulp difference)."""
+    from grokspark.operators.similarity import _bucketed_vectors, hyperplanes
+
+    planes = hyperplanes(64, 8, seed=42)
+    fold = {
+        r["id"]: r["_bucket"]
+        for r in _bucketed_vectors(emb, "embedding", "vec_id", planes, via_udf=False).collect()
+    }
+    udf = {
+        r["id"]: r["_bucket"]
+        for r in _bucketed_vectors(emb, "embedding", "vec_id", planes, via_udf=True).collect()
+    }
+    assert fold == udf and len(fold) == emb.count()
+
+
+def test_knn_rank_margins_survive_engine_fp_differences(spark, emb):
+    """knn_join rank order is compared against a DuckDB oracle that
+    recomputes cosine independently; ranks are only portable if
+    rank-adjacent scores are separated by far more than any
+    summation-order ulp. Assert the minimum adjacent gap on the
+    testdata (mirrors the documented ~1e-3 sign-LSH margin check)."""
+    import collections
+
+    from grokspark.operators import knn_join
+
+    # k+1 neighbors so the oracle-visible top-3 cut line has a margin too
+    rows = knn_join(emb, k=4, n_planes=8, probe_hamming=1, seed=42).collect()
+    by_q = collections.defaultdict(list)
+    for r in rows:
+        by_q[r["vec_id"]].append((r["rank"], r["score"]))
+    min_gap = float("inf")
+    for scores in by_q.values():
+        scores.sort()
+        for (_, a), (_, b) in zip(scores, scores[1:]):
+            min_gap = min(min_gap, a - b)
+    assert min_gap > 1e-9, min_gap

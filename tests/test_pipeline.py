@@ -65,7 +65,9 @@ def test_route_match_counts_vs_oracle(spark, seq_df, oracle):
 
 def test_full_pipeline_counts_and_invariants(spark, seq_df, corpus, oracle, tmp_path):
     out_dir = str(tmp_path / "out")
-    pipe = GrokPipeline(spark, PipelineConfig(out_dir=out_dir, parse_partitions=8))
+    pipe = GrokPipeline(
+        spark, PipelineConfig(out_dir=out_dir, parse_partitions=8, per_pattern=True)
+    )
     result = pipe.run(seq_df)
 
     # per-sink aggregate counts == pure-Python reference
@@ -100,7 +102,7 @@ def test_full_pipeline_counts_and_invariants(spark, seq_df, corpus, oracle, tmp_
 
 def test_resume_skips_completed_units(spark, seq_df, oracle, tmp_path):
     out_dir = str(tmp_path / "out")
-    cfg = PipelineConfig(out_dir=out_dir, parse_partitions=4)
+    cfg = PipelineConfig(out_dir=out_dir, parse_partitions=4, per_pattern=True)
     first = GrokPipeline(spark, cfg).run(seq_df)
     assert not first.skipped_units
 
@@ -115,7 +117,9 @@ def test_resume_skips_completed_units(spark, seq_df, oracle, tmp_path):
 
 def test_unroutable_dead_letter(spark, seq_df, oracle, tmp_path):
     out_dir = str(tmp_path / "out")
-    GrokPipeline(spark, PipelineConfig(out_dir=out_dir, parse_partitions=4)).run(seq_df)
+    GrokPipeline(
+        spark, PipelineConfig(out_dir=out_dir, parse_partitions=4, per_pattern=True)
+    ).run(seq_df)
     dead = spark.read.parquet(f"{out_dir}/unroutable")
     assert dead.count() == oracle["unroutable"]
     assert set(
@@ -125,7 +129,9 @@ def test_unroutable_dead_letter(spark, seq_df, oracle, tmp_path):
 
 def test_typed_extract_columns_in_elb_sink(spark, seq_df, tmp_path):
     out_dir = str(tmp_path / "out")
-    GrokPipeline(spark, PipelineConfig(out_dir=out_dir, parse_partitions=4)).run(seq_df)
+    GrokPipeline(
+        spark, PipelineConfig(out_dir=out_dir, parse_partitions=4, per_pattern=True)
+    ).run(seq_df)
     elb = spark.read.parquet(f"{out_dir}/sinks/web/pat_elb")
     schema = {f.name: f.dataType.simpleString() for f in elb.schema.fields}
     assert schema["clientport"] == "bigint"
@@ -287,6 +293,22 @@ def test_ranged_mode_rejects_transformed_or_nonparquet_input(spark, seq_parquet,
     raw = read_raw_lines(spark, str(tmp_path / "*.log"), source="apache_access")
     with pytest.raises(ValueError, match="untransformed parquet"):
         GrokPipeline(spark, cfg).run(raw)
+
+    # a computed column would be silently dropped by the re-read
+    computed = spark.read.parquet(seq_parquet).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="computed or retyped"):
+        GrokPipeline(spark, cfg).run(computed)
+
+
+def test_ranged_mode_accepts_pruning_projection(spark, seq_parquet, oracle, tmp_path):
+    """A column-pruning select over the bare scan is harmless for
+    ranged mode (the re-read restores a superset) and must be allowed."""
+    cfg = PipelineConfig(out_dir=str(tmp_path / "o"), range_units=2)
+    pruned = spark.read.parquet(seq_parquet).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    result = GrokPipeline(spark, cfg).run(pruned)
+    assert result.sink_counts == oracle["sink_counts"]
 
 
 def test_ranged_mode_refuses_resume_after_input_change(spark, seq_df, tmp_path):

@@ -140,3 +140,31 @@ def test_fake_png_deterministic_and_decodable(key, text):
     feats = png_features(p1)
     assert 4 <= feats["width"] <= 11 and 4 <= feats["height"] <= 11
     assert 0.0 <= feats["mean_luma"] <= 255.0
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_batch_matches_scalar_reference(texts):
+    """The vectorized SimHash kernel (numpy FNV fold + segmented votes)
+    must equal the scalar pure-Python reference bit-for-bit on
+    arbitrary unicode, including empty docs and whitespace-only text."""
+    import numpy as np
+
+    from grokspark.operators.dedup import _fnv1a, _fnv1a_batch, simhash_batch, simhash_py
+
+    got = simhash_batch(texts)
+    exp = np.array([simhash_py(t) for t in texts], dtype=np.int64)
+    assert (got == exp).all()
+
+    words = [w.encode("utf-8") for t in texts for w in t.lower().split()]
+    if words:
+        hb = _fnv1a_batch(words)
+        he = np.array([_fnv1a(w.decode("utf-8")) for w in words], dtype=np.uint64)
+        assert (hb == he).all()

@@ -66,3 +66,43 @@ def test_read_raw_lines_fixed_source_label(spark, tmp_path):
     (tmp_path / "whatever.log").write_text("a line\n", encoding="utf-8")
     seq = read_raw_lines(spark, str(tmp_path / "*.log"), source="syslog")
     assert [r["source"] for r in seq.collect()] == ["syslog"]
+
+
+def test_read_raw_lines_content_ids_survive_replans(spark, tmp_path):
+    """content id_mode: re-ingesting the same files under a DIFFERENT
+    split plan yields the same doc_ids (resume-safe), while split
+    id_mode ids are positional and plan-dependent."""
+    from grokspark.datagen import line_for
+
+    lines = [line_for(i, "apache_access") for i in range(300)]
+    (tmp_path / "a.log").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    glob = str(tmp_path / "*.log")
+
+    def ids_with_split_bytes(nbytes, id_mode):
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+        try:
+            df = read_raw_lines(spark, glob, id_mode=id_mode)
+            assert df.rdd.getNumPartitions() >= 1
+            return sorted(r["doc_id"] for r in df.collect())
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    a = ids_with_split_bytes(1 << 25, "content")
+    b = ids_with_split_bytes(4096, "content")  # forces a multi-split plan
+    assert a == b and len(a) == 300 and len(set(a)) == 300
+
+    # the positional scheme documents its caveat: ids change with plan
+    c = ids_with_split_bytes(1 << 25, "split")
+    d = ids_with_split_bytes(4096, "split")
+    assert len(c) == len(d) == 300
+    assert c != d
+
+
+def test_read_raw_lines_content_mode_coalesces_duplicate_lines(spark, tmp_path):
+    (tmp_path / "x.log").write_text("same\nsame\nother\n", encoding="utf-8")
+    glob = str(tmp_path / "*.log")
+    content = read_raw_lines(spark, glob, id_mode="content").collect()
+    assert len({r["doc_id"] for r in content}) == 2  # same content, one id
+    split = read_raw_lines(spark, glob, id_mode="split").collect()
+    assert len({r["doc_id"] for r in split}) == 3

@@ -99,6 +99,62 @@ def test_stream_first_seen_dedup(spark, corpus, tmp_path):
     assert set(ids) == expected
 
 
+def test_first_seen_state_is_bucketed_and_fixed_width(spark, corpus):
+    """The first-seen state contract at scale: per-group state holds
+    fixed-width 8-byte digests and is sharded over n_buckets groups, so
+    no group's state is O(corpus) and replays add nothing."""
+    import collections
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from grokspark.streaming import _FIRST_SEEN_STATE, first_seen_filter
+
+    # state schema stores longs (8-byte digests), not id strings
+    assert _FIRST_SEEN_STATE["seen"].dataType.elementType.typeName() == "long"
+
+    # shard the corpus exactly as stream_first_seen does (JVM-side
+    # xxhash64 + pmod) and replay every batch twice through the pure
+    # per-group step
+    n_buckets = 16
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    keyed = (
+        spark.createDataFrame(corpus, schema)
+        .withColumn("_digest", F.xxhash64("doc_id"))
+        .withColumn("_bucket", F.pmod(F.col("_digest"), F.lit(n_buckets)).cast("int"))
+        .select("doc_id", "source", "n_tok", "_digest", "_bucket")
+        .collect()
+    )
+    groups: dict[tuple, list] = collections.defaultdict(list)
+    for r in keyed:
+        groups[(r["source"], r["_bucket"])].append(
+            (r["doc_id"], r["source"], r["n_tok"], r["_digest"])
+        )
+    emitted = []
+    state_sizes = {}
+    for key, rows in groups.items():
+        pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_tok", "_digest"])
+        seen: set = set()
+        out1 = first_seen_filter(seen, pdf)
+        out2 = first_seen_filter(seen, pdf)  # full replay of the batch
+        assert len(out2) == 0, "replayed rows re-emitted"
+        # state grows with DISTINCT ids in this bucket only
+        assert len(seen) == pdf["_digest"].nunique()
+        emitted.extend(out1["doc_id"])
+        state_sizes[key] = len(seen)
+
+    assert sorted(emitted) == sorted({r["doc_id"] for r in corpus})
+    # sharding: no group's state approaches the corpus; it stays near
+    # ids_per_source / n_buckets (allow 3x headroom for hash variance)
+    per_source = collections.Counter(r["source"] for r in corpus)
+    for (source, _bucket), size in state_sizes.items():
+        assert size <= max(8, 3 * per_source[source] / n_buckets), (
+            source,
+            size,
+            per_source[source],
+        )
+
+
 def test_stream_route_sinks_match_batch_and_idempotent(spark, corpus, input_dir, tmp_path):
     """foreachBatch fan-out sinks: per-(route, matched) counts across
     all micro-batches equal the batch pipeline; restarting the finished

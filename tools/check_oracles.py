@@ -49,6 +49,11 @@ def main() -> int:
     t_start = time.monotonic()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # sf-scaled VALUES oracles (grok_route_counts_sf) must be built for
+    # the same sf dir the Spark queries run on
+    import os
+
+    os.environ[entry.ORACLE_SF_ENV] = sf_dir
 
     spark = get_spark(app_name="check-oracles", cores=8)
     con = duckdb.connect()
