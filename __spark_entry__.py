@@ -552,27 +552,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(emb.select("vec_id", "label"), "vec_id").select("vec_id", "label")
 
 
-_ANN_INDEX_CACHE: dict[str, str] = {}
+_ANN_INDEX_CACHE: dict[tuple, str] = {}
 
 
-def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialized LSH index (parquet partitioned by _bucket) for the
-    embeddings table — built once per sf_dir per process."""
-    from grokspark.operators import build_lsh_index
-
-    path = _ANN_INDEX_CACHE.get(sf_dir)
+def _cached_index(kind: str, sf_dir: str, build) -> str:
+    """Materialize an ANN index (parquet partitioned by its cell/bucket
+    column) once per (kind, sf_dir) per process."""
+    key = (kind, sf_dir)
+    path = _ANN_INDEX_CACHE.get(key)
     if path is None:
         import atexit
         import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="grokspark_ann_index_")
+        path = tempfile.mkdtemp(prefix=f"grokspark_{kind}_index_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        build_lsh_index(
-            _read(spark, sf_dir, "embeddings"), path, n_planes=8, seed=42
-        )
-        _ANN_INDEX_CACHE[sf_dir] = path
+        build(path)
+        _ANN_INDEX_CACHE[key] = path
     return path
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    from grokspark.operators import build_lsh_index
+
+    return _cached_index(
+        "lsh",
+        sf_dir,
+        lambda path: build_lsh_index(
+            _read(spark, sf_dir, "embeddings"), path, n_planes=8, seed=42
+        ),
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +598,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _ann_index_path(spark, sf_dir)
     return lsh_index_topk(
         spark, index, query, k=10, n_planes=8, probe_hamming=2, seed=42
+    ).select("vec_id")
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over a MATERIALIZED coarse-quantizer index: rows
+    partitioned by nearest-centroid cell, the query probes only the
+    nprobe nearest cells (PartitionFilters pruning, executed-metrics
+    asserted in tests), exact cosine top-k within them. Centroids are
+    deterministic seeded Gaussians so the oracle recomputes the whole
+    rule — cell assignment, probe selection, and top-k — in SQL from
+    the same literals (dot products share the sequential double fold,
+    so assignments agree bit-for-bit; see grokspark/operators/ivf.py).
+    The trained-centroid path (MLlib k-means) is pytest-covered."""
+    from grokspark.operators import build_ivf_index, ivf_topk, seeded_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids = seeded_centroids(64, IVF_CELLS, seed=42)
+    index = _cached_index(
+        "ivf",
+        sf_dir,
+        lambda path: build_ivf_index(emb, path, centroids),
+    )
+    return ivf_topk(
+        spark, index, query, centroids, k=10, nprobe=IVF_NPROBE
     ).select("vec_id")
 
 
@@ -705,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -733,6 +772,50 @@ def _lsh_bucket_sql(n_planes: int = 8) -> str:
         + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+
+
+def _ann_ivf_oracle_sql(
+    k_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE, k: int = 10
+) -> str:
+    """DuckDB mirror of the whole IVF rule from the same centroid
+    literals: per-row cell = argmax dot (first index on ties, same
+    sequential fold -> bit-identical), probe set = the query's top-
+    nprobe cells ranked in SQL, exact cosine top-k within the probes."""
+    from grokspark.operators.ivf import seeded_centroids
+
+    centroids = seeded_centroids(64, k_cells, seed=42)
+    dots = (
+        "["
+        + ", ".join(
+            "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+            + ",".join(repr(float(x)) for x in c)
+            + "])"
+            for c in centroids
+        )
+        + "]"
+    )
+    return f"""
+        WITH a AS (
+          SELECT vec_id, embedding, {dots} AS dots FROM embeddings
+        ), cells AS (
+          SELECT vec_id, embedding,
+                 list_position(dots, list_max(dots)) - 1 AS cell
+          FROM a
+        ), q AS (
+          SELECT embedding AS qe, dots AS qdots FROM a WHERE vec_id = 0
+        ), probes AS (
+          SELECT i - 1 AS cell FROM (
+            SELECT unnest(qdots) AS s, generate_subscripts(qdots, 1) AS i
+            FROM q)
+          ORDER BY s DESC, i ASC LIMIT {nprobe}
+        )
+        SELECT vec_id FROM (
+          SELECT c.vec_id
+          FROM cells c, q
+          WHERE c.cell IN (SELECT cell FROM probes)
+          ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC, c.vec_id ASC
+          LIMIT {k})
+    """
 
 
 def _ann_lsh_oracle_sql(n_planes: int = 8, probe_hamming: int = 2, k: int = 10) -> str:
@@ -984,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
             [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("hamming", "INTEGER")],
         ),
         "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=8, probe_hamming=2, k=10),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "text_quality": f"""
             WITH scored AS (
               SELECT lang,

@@ -139,6 +139,9 @@ def run_bench(
         "window_top_orders",
         "events_sessionize",
         "dedup_exact",
+        "dedup_minhash_lsh",
+        "simhash_pairs",
+        "knn_join",
         "fingerprint",
         "token_counts",
         "text_quality",

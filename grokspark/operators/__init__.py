@@ -15,6 +15,12 @@ from grokspark.operators.dedup import (
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from grokspark.operators.ivf import (
+    build_ivf_index,
+    ivf_topk,
+    seeded_centroids,
+    train_ivf_centroids,
+)
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
     build_lsh_index,
@@ -45,6 +51,10 @@ __all__ = [
     "build_lsh_index",
     "lsh_index_topk",
     "lsh_bucketed_topk",
+    "build_ivf_index",
+    "ivf_topk",
+    "seeded_centroids",
+    "train_ivf_centroids",
     "token_count",
     "quality_scores",
     "lang_id",

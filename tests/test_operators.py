@@ -371,3 +371,86 @@ def test_knn_rank_margins_survive_engine_fp_differences(spark, emb):
         for (_, a), (_, b) in zip(scores, scores[1:]):
             min_gap = min(min_gap, a - b)
     assert min_gap > 1e-9, min_gap
+
+
+def test_ivf_assignment_parity_and_topk(spark, emb, tmp_path):
+    """IVF-flat: Spark cell assignment == driver-side fold twin; the
+    probed top-k equals a pure-Python rerun of the identical rule."""
+    from grokspark.operators.ivf import (
+        build_ivf_index,
+        ivf_assign_col,
+        ivf_assign_of,
+        ivf_probes,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    centroids = seeded_centroids(64, 16, seed=42)
+    rows = emb.select(
+        "vec_id", "embedding", ivf_assign_col("embedding", centroids).alias("cell")
+    ).collect()
+    for r in rows:
+        assert r["cell"] == ivf_assign_of(r["embedding"], centroids), r["vec_id"]
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb, index, centroids)
+    query = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    got = [r["vec_id"] for r in ivf_topk(spark, index, query, centroids, k=10, nprobe=4).collect()]
+
+    # pure-Python rerun of the same rule
+    import math
+
+    probes = set(ivf_probes(query, centroids, 4))
+    qn = math.sqrt(sum(float(x) * x for x in query))
+
+    def cos(v):
+        dot = sum(float(a) * float(b) for a, b in zip(v, query))
+        return dot / (math.sqrt(sum(float(a) * a for a in v)) * qn)
+
+    cand = [
+        (cos(r["embedding"]), -r["vec_id"])
+        for r in rows
+        if ivf_assign_of(r["embedding"], centroids) in probes
+    ]
+    want = [-i for _s, i in sorted(cand, reverse=True)[:10]]
+    assert got == want
+
+
+def test_ivf_index_scan_prunes_partitions(spark, emb, tmp_path):
+    """ivf_topk must read only the nprobe probed cells — asserted on
+    EXECUTED scan metrics (numFiles), not explain text."""
+    import glob
+
+    from grokspark.operators.ivf import build_ivf_index, ivf_topk, seeded_centroids
+    from tests.test_plans import _executed_scan_metrics, explain_str
+
+    centroids = seeded_centroids(64, 16, seed=42)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb, index, centroids)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    top = ivf_topk(spark, index, query, centroids, k=10, nprobe=4)
+    plan = explain_str(top)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "_centroid" in pf[0], plan
+    top.collect()
+    scans = _executed_scan_metrics(top)
+    n_files = scans[0]["numFiles"]
+    total = len(glob.glob(f"{index}/_centroid=*/*.parquet"))
+    assert n_files <= 4, (n_files, total)
+    assert n_files < total
+
+
+def test_ivf_trained_centroids_path(spark, emb, tmp_path):
+    """MLlib k-means training (the scale path for real centroids):
+    deterministic under a seed, and the resulting index serves queries."""
+    from grokspark.operators.ivf import build_ivf_index, ivf_topk, train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, k=8, seed=7, max_iter=5)
+    c2 = train_ivf_centroids(emb, k=8, seed=7, max_iter=5)
+    assert len(c1) == 8 and len(c1[0]) == 64
+    assert c1 == c2  # fixed seed -> deterministic
+    index = str(tmp_path / "ivf_trained")
+    build_ivf_index(emb, index, c1)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    got = ivf_topk(spark, index, query, c1, k=5, nprobe=2).collect()
+    assert len(got) == 5
