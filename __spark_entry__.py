@@ -667,6 +667,86 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MIN_SHARED = 20
+WINNOW_MAX_FP_DF = 50
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, aggregated per lang.
+    Oracle: the pure-Python mirror of the identical normalization /
+    k-gram fold / window-minima rule, run single-process over the same
+    parquet (VALUES)."""
+    from grokspark.operators import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    joined = fps.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    return joined.groupBy("lang").agg(
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.count(F.lit(1)).alias("n_doc_fps"),
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints through the
+    inverted-index join, with the hot-fp document-frequency cap that
+    keeps the join bounded at scale. Oracle: pure-Python inverted
+    index over the same parquet with the same cap and threshold."""
+    from grokspark.operators import winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, min_shared=WINNOW_MIN_SHARED, max_fp_df=WINNOW_MAX_FP_DF
+    ).select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
+
+
+@functools.lru_cache(maxsize=4)
+def _winnow_oracle_rows(sf_dir: str) -> dict[str, list[tuple]]:
+    """Pure-Python winnowing over the sf dir's documents parquet:
+    per-lang fp aggregates + capped inverted-index pairs (the VALUES
+    oracles for fingerprint_winnow / winnow_pairs)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from grokspark.operators.textops import winnow_fingerprints_py
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    )
+    per_lang_n: dict[str, int] = collections.Counter()
+    per_lang_distinct: dict[str, set] = collections.defaultdict(set)
+    inv: dict[int, list[str]] = collections.defaultdict(list)
+    for did, text, lang in rows:
+        fps = winnow_fingerprints_py(text)
+        per_lang_n[lang] += len(fps)
+        per_lang_distinct[lang].update(fps)
+        for fp in fps:
+            inv[fp].append(did)
+    pairs: dict[tuple, int] = collections.Counter()
+    for fp, ids in inv.items():
+        if len(ids) > WINNOW_MAX_FP_DF:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs[(ids[i], ids[j])] += 1
+    return {
+        "per_lang": sorted(
+            (lang, len(per_lang_distinct[lang]), per_lang_n[lang])
+            for lang in per_lang_n
+        ),
+        "pairs": sorted(
+            (a, b, n) for (a, b), n in pairs.items() if n >= WINNOW_MIN_SHARED
+        ),
+    }
+
+
 @functools.lru_cache(maxsize=1)
 def _multimodal_oracle_rows() -> list[tuple]:
     """Single-process reference: fabricate the same deterministic PNGs
@@ -748,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1103,6 +1185,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,
+        "fingerprint_winnow": _values_sql(
+            _winnow_oracle_rows(
+                os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+            )["per_lang"],
+            [
+                ("lang", "VARCHAR"),
+                ("n_distinct_fp", "BIGINT"),
+                ("n_doc_fps", "BIGINT"),
+            ],
+        ),
+        "winnow_pairs": _values_sql(
+            _winnow_oracle_rows(
+                os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+            )["pairs"],
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_shared", "BIGINT")],
+        ),
         "multimodal_features": _values_sql(
             _multimodal_oracle_rows(),
             [

@@ -34,6 +34,8 @@ from grokspark.operators.textops import (
     lang_id,
     quality_scores,
     token_count,
+    winnow_fingerprints,
+    winnow_pairs,
 )
 
 __all__ = [
@@ -59,4 +61,6 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]

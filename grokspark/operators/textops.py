@@ -18,6 +18,9 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
+    "winnow_fingerprints_py",
+    "winnow_pairs",
     "STOPWORDS_EN",
 ]
 
@@ -95,3 +98,211 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     md5 (not xxhash) so any engine reproduces it."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fp", F.md5(normalized))
+
+
+# -- winnowing (rolling-hash) fingerprints -----------------------------------
+
+# Polynomial rolling hash over character codes: fold (acc*B + c) % M.
+# B/M chosen so every intermediate fits a signed 64-bit int with ANSI
+# arithmetic (acc < M=2^31-1, so acc*B + c < 2^40 — no overflow throw)
+# and the formula is one line of pure Python for the oracle.
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+WINNOW_K = 5  # k-gram length (characters)
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def winnow_batch(texts, k: int = WINNOW_K, window: int = WINNOW_W) -> list:
+    """Winnow a whole batch of texts at once in numpy (bit-identical to
+    ``winnow_fingerprints_py`` per doc — property-tested). Returns one
+    list of distinct fps (first-seen order) per input text.
+
+    Why a kernel and not expressions: the obvious pure-expression form
+    (transform over window starts -> array_min(slice(transform over
+    gram starts -> aggregate(slice(codes)))) ) is CUBIC at runtime —
+    Spark higher-order functions are interpreted and re-evaluate every
+    subtree inside a lambda per element (no loop-invariant hoisting),
+    so the grams array is recomputed for every window and the codes
+    array for every gram. A 550-char doc costs ~10^8 interpreted
+    evals; the sf0.01 corpus never finishes. Here every step is one
+    vectorized pass: UTF-16 code units straight from the encoded
+    bytes, the k-step polynomial fold over all gram starts of all docs
+    at once, the window minimum as ``window`` shifted elementwise
+    minima (doc boundaries respected by slicing each doc's valid
+    window range)."""
+    import re
+
+    import numpy as np
+
+    normed = [
+        re.sub(r"\s+", " ", (t or "").strip()).lower() for t in texts
+    ]
+    codes_per_doc = [
+        np.frombuffer(s.encode("utf-16-le"), dtype="<u2").astype(np.int64)
+        for s in normed
+    ]
+    lens = np.fromiter((len(c) for c in codes_per_doc), dtype=np.int64, count=len(normed))
+
+    def fold(arr2d_cols):
+        acc = np.zeros(arr2d_cols[0].shape, dtype=np.int64)
+        for col in arr2d_cols:
+            acc = (acc * WINNOW_B + col) % WINNOW_M
+        return acc
+
+    out: list[list[int]] = []
+    long_idx = [i for i, n in enumerate(lens) if n >= k]
+    # short docs: whole-text fold, one fp
+    short_fp = {
+        i: int(fold([c[j : j + 1] for j in range(len(c))])[0]) if len(c) else 0
+        for i, c in enumerate(codes_per_doc)
+        if lens[i] < k
+    }
+    gram_segments: dict[int, "np.ndarray"] = {}
+    if long_idx:
+        flat = np.concatenate([codes_per_doc[i] for i in long_idx])
+        doc_lens = lens[long_idx]
+        starts0 = np.concatenate(([0], np.cumsum(doc_lens[:-1])))
+        # all gram start positions of all docs, flat
+        n_grams = doc_lens - k + 1
+        gram_starts = np.concatenate(
+            [s + np.arange(g) for s, g in zip(starts0, n_grams)]
+        )
+        g = fold([flat[gram_starts + j] for j in range(k)])
+        goff = np.concatenate(([0], np.cumsum(n_grams[:-1])))
+        for pos, i in enumerate(long_idx):
+            gram_segments[i] = g[goff[pos] : goff[pos] + n_grams[pos]]
+    for i in range(len(normed)):
+        if i in short_fp:
+            out.append([short_fp[i]])
+            continue
+        grams = gram_segments[i]
+        w = min(window, len(grams))
+        n_windows = max(len(grams) - window + 1, 1)
+        mins = grams[:n_windows].copy()
+        for j in range(1, w):
+            np.minimum(mins, grams[j : j + n_windows], out=mins)
+        _vals, first = np.unique(mins, return_index=True)
+        out.append([int(v) for v in mins[np.sort(first)]])
+    return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Aiken, the MOSS
+    scheme): rolling-hash every character ``k``-gram of the normalized
+    text, slide a ``window`` over consecutive gram hashes, keep each
+    window's MINIMUM, dedupe — ``(id, fp)`` exploded, ready for an
+    inverted-index join. Guarantees: any shared substring of length >=
+    k + window - 1 yields at least one shared fingerprint, and at
+    least one gram per window survives (density ~2/(window+1)).
+
+    Executed as an Arrow-batched numpy kernel (``winnow_batch``) —
+    see its docstring for why the pure-expression form is unusable
+    (interpreted HOF lambdas make it cubic). Docs shorter than k chars
+    get the whole-text hash as their single fingerprint."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def fps(texts):
+        return pd.Series(winnow_batch(texts, k, window))
+
+    fps_udf = pandas_udf(fps, T.ArrayType(T.LongType()))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps_udf(F.col(text_col))).alias("fp")
+    )
+
+
+def winnow_fingerprints_py(
+    text: str, k: int = WINNOW_K, window: int = WINNOW_W
+) -> list[int]:
+    """Pure-Python mirror of ``winnow_fingerprints`` for one document
+    (identical normalization, hash fold, window minima, first-seen
+    order of the distinct fps) — drives oracles and tests."""
+    import re
+
+    normalized = re.sub(r"\s+", " ", (text or "").strip()).lower()
+    codes = [ord(c) if ord(c) <= 0xFFFF else None for c in normalized]
+    if any(c is None for c in codes):  # astral chars: mirror UTF-16 unit
+        codes = [u for ch in normalized for u in _utf16_units(ch)]
+
+    def fold(cs):
+        acc = 0
+        for c in cs:
+            acc = (acc * WINNOW_B + c) % WINNOW_M
+        return acc
+
+    if len(codes) < k:
+        return [fold(codes)]
+    grams = [fold(codes[i : i + k]) for i in range(len(codes) - k + 1)]
+    w = min(window, len(grams))
+    out: list[int] = []
+    seen = set()
+    for j in range(max(len(grams) - window + 1, 1)):
+        m = min(grams[j : j + w])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def _utf16_units(ch: str) -> list[int]:
+    o = ord(ch)
+    if o <= 0xFFFF:
+        return [o]
+    o -= 0x10000
+    return [0xD800 + (o >> 10), 0xDC00 + (o & 0x3FF)]
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    max_fp_df: "int | None" = None,
+    k: int = WINNOW_K,
+    window: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` for pairs sharing >= ``min_shared``
+    surviving fps. Candidate generation is ONE equi-join over the
+    inverted (id, fp) index — narrow rows, no quadratic pass, the same
+    discipline as the LSH candidate stages.
+
+    ``max_fp_df`` is the hot-key control and is NOT optional at scale:
+    a fingerprint appearing in M documents contributes M^2/2 joined
+    rows, so corpus-wide boilerplate (which carries no near-dup signal
+    anyway) turns the join quadratic — on this repo's synthetic corpus
+    the hottest fp hits 80% of all docs. The cap drops fps with
+    document frequency > max_fp_df before pairing (one extra narrow
+    aggregate + semi-join), bounding the join at corpus_fps *
+    max_fp_df^2/2. Classic df-pruning from the MOSS/winnowing
+    literature; None keeps every fp (exactness for small corpora).
+
+    This convenience composition re-evaluates the fingerprint kernel
+    on each join branch (3x with the cap); at real scale materialize
+    ``winnow_fingerprints`` once (checkpoint or table) and run the
+    join/cap over that."""
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -454,3 +454,56 @@ def test_ivf_trained_centroids_path(spark, emb, tmp_path):
     query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     got = ivf_topk(spark, index, query, c1, k=5, nprobe=2).collect()
     assert len(got) == 5
+
+
+def test_winnow_fingerprints_match_pure_python(spark, docs):
+    """Spark winnowing (codes -> k-gram fold -> window minima) equals
+    the pure-Python mirror per document, including short docs."""
+    from grokspark.operators import winnow_fingerprints
+    from grokspark.operators.textops import winnow_fingerprints_py
+
+    got: dict = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        assert got[r["doc_id"]] == set(winnow_fingerprints_py(r["text"])), r["doc_id"]
+
+
+def test_winnow_unicode_code_parity(spark):
+    """The Spark split+ascii char-code path must equal the Python
+    mirror on BMP unicode (accents, CJK, symbols)."""
+    from grokspark.operators import winnow_fingerprints
+    from grokspark.operators.textops import winnow_fingerprints_py
+
+    texts = [
+        "héllo wörld ünïcode ça va bien aujourd'hui",
+        "日本語のテキストです 漢字 かな カナ 句読点、テスト。",
+        "mixed ascii and 中文 and emoji-free ☃ snowman",
+        "short",
+        "",
+        "   spaces   and\t\ttabs\nnewlines   ",
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got: dict = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got[f"d{i}"] == set(winnow_fingerprints_py(t)), repr(t)
+
+
+def test_winnow_pairs_df_cap_bounds_join(spark, docs):
+    """winnow_pairs with the df cap reproduces the pure-Python capped
+    inverted index; without the cap the hot boilerplate fps would make
+    the join quadratic (documented)."""
+    from grokspark.operators import winnow_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_pairs(docs, min_shared=20, max_fp_df=50).collect()
+    }
+    assert got  # the synthetic corpus contains engineered near-dups
+    assert all(n >= 20 for n in got.values())
