@@ -491,6 +491,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup decision table a training pipeline materializes:
+    exact collapse -> MinHash-LSH pairs over representatives ->
+    connected components -> (doc_id, cluster_id, keep) for EVERY
+    document. Oracle: the identical rule in pure SQL (md5 collapse,
+    inverted-index exact Jaccard — equal to the LSH output at bands=64
+    — and a recursive CTE for the components)."""
+    from grokspark.operators import dedup_corpus
+
+    return dedup_corpus(
+        _read(spark, sf_dir, "documents"), threshold=0.5, n=2, bands=64
+    ).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "keep"
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN (every row gets its top-3 neighbors
     within hamming<=1 LSH probe buckets). Candidates via one bucket
@@ -817,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -936,9 +953,13 @@ _BIGRAMS = (
 # division as the Spark side -> bit-identical jaccard values. The old
 # cross-join formulation cost ~10 s per oracle at sf0.01; this runs in
 # well under a second.
-_JACCARD_PAIRS_SQL = f"""
-    WITH g AS (
-      SELECT doc_id AS id, {_BIGRAMS} AS grams FROM documents
+def _jaccard_pairs_sql(
+    docs_sql: str = "SELECT doc_id AS id, text FROM documents",
+) -> str:
+    """Exact-Jaccard pair SQL over any (id, text) relation."""
+    return f"""
+    WITH d AS ({docs_sql}), g AS (
+      SELECT id, {_BIGRAMS} AS grams FROM d
     ), x AS (
       SELECT id, len(grams) AS n, unnest(grams) AS gram FROM g
     ), s AS (
@@ -951,6 +972,43 @@ _JACCARD_PAIRS_SQL = f"""
            CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
     FROM s
     WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+"""
+
+
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql()
+
+# The full dedup decision: exact collapse -> rep-level Jaccard pairs ->
+# recursive-CTE connected components -> decisions for every member.
+# SQL twin of grokspark.operators.dedup.dedup_corpus.
+_DEDUP_CORPUS_SQL = f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id AS id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             text
+      FROM documents
+    ), reps AS (
+      SELECT fp, MIN(id) AS rep_id FROM norm GROUP BY fp
+    ), p AS (
+      {_jaccard_pairs_sql(
+          "SELECT n.id, n.text FROM norm n JOIN reps r ON n.id = r.rep_id"
+      )}
+    ), e2 AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach2(id, label) AS (
+      SELECT src, src FROM e2
+      UNION
+      SELECT e.src, r.label FROM e2 e JOIN reach2 r ON e.dst = r.id
+    ), cc AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach2 GROUP BY id
+    ), doc_rep AS (
+      SELECT n.id, r.rep_id FROM norm n JOIN reps r ON n.fp = r.fp
+    )
+    SELECT doc_rep.id AS doc_id,
+           COALESCE(cc.cluster_id, doc_rep.rep_id) AS cluster_id,
+           (doc_rep.id = COALESCE(cc.cluster_id, doc_rep.rep_id)) AS keep
+    FROM doc_rep LEFT JOIN cc ON doc_rep.rep_id = cc.id
 """
 
 
@@ -1128,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(label) AS cluster_id
             FROM reach GROUP BY id
         """,
+        "dedup_corpus": _DEDUP_CORPUS_SQL,
         "knn_join": f"""
             WITH b AS (
               SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket

@@ -6,6 +6,7 @@ explicitly-marked multimodal decode stubs.
 """
 
 from grokspark.operators.dedup import (
+    dedup_corpus,
     duplicate_clusters,
     embedding_cosine_pairs,
     exact_dedup,
@@ -39,6 +40,7 @@ from grokspark.operators.textops import (
 )
 
 __all__ = [
+    "dedup_corpus",
     "duplicate_clusters",
     "exact_dedup",
     "knn_join",

@@ -39,6 +39,7 @@ __all__ = [
     "simhash_py",
     "simhash_batch",
     "duplicate_clusters",
+    "dedup_corpus",
     "embedding_cosine_pairs",
     "cosine",
 ]
@@ -522,6 +523,59 @@ def duplicate_clusters(
             f"max_iterations (components need rounds >= min-id eccentricity)"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collapse_exact: bool = True,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The end-to-end dedup decision a training pipeline materializes:
+    ``(doc_id, cluster_id, keep)`` for EVERY document — ``cluster_id``
+    is the minimum doc id of the document's near-duplicate cluster
+    (its own id if unique), ``keep`` marks exactly one representative
+    (the minimum id) per cluster.
+
+    Composition: exact-duplicate collapse (md5 of normalized text ->
+    one representative per identical group — one cheap hash aggregate
+    that shrinks the LSH input; duplicate-heavy corpora are mostly
+    EXACT duplicates) -> MinHash-LSH near-dup pairs over the
+    representatives -> iterative connected components -> decisions
+    broadcast back to all members. Output is IDENTICAL with
+    ``collapse_exact=False`` (byte-equal docs have Jaccard 1 >=
+    threshold, so they cluster anyway — asserted in tests); the flag
+    only changes how much text the LSH stage chews."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    ids = df.select(F.col(id_col).alias("id"), F.md5(norm).alias("_fp"))
+    if collapse_exact:
+        reps = ids.groupBy("_fp").agg(F.min("id").alias("rep_id"))
+        doc_rep = ids.join(reps, "_fp").select("id", "rep_id")
+        rep_docs = df.join(
+            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+        )
+    else:
+        doc_rep = ids.select("id", F.col("id").alias("rep_id"))
+        rep_docs = df
+    pairs = minhash_lsh_pairs(
+        rep_docs, threshold, n, num_hashes, bands, text_col, id_col
+    )
+    clusters = duplicate_clusters(pairs, max_iterations).withColumnRenamed(
+        "id", "rep_id"
+    )
+    out = doc_rep.join(clusters, "rep_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("rep_id"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

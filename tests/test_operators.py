@@ -507,3 +507,43 @@ def test_winnow_pairs_df_cap_bounds_join(spark, docs):
     }
     assert got  # the synthetic corpus contains engineered near-dups
     assert all(n >= 20 for n in got.values())
+
+
+def test_dedup_corpus_collapse_invariance_and_decisions(spark, docs):
+    """dedup_corpus with and without the exact-collapse pre-stage must
+    produce IDENTICAL decisions (byte-equal docs have Jaccard 1), and
+    the decision table must be consistent: every doc present once,
+    exactly one keep per cluster, cluster_id = min member id."""
+    import collections
+
+    from grokspark.operators import dedup_corpus
+
+    # add exact duplicates so the collapse path is data-exercised
+    extra = docs.limit(5).selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(extra)
+
+    def run(collapse):
+        return {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup_corpus(
+                corpus, threshold=0.5, n=2, bands=64, collapse_exact=collapse
+            ).collect()
+        }
+
+    a, b = run(True), run(False)
+    assert a == b
+    assert len(a) == corpus.count()
+    clusters = collections.defaultdict(list)
+    for did, (cid, keep) in a.items():
+        clusters[cid].append((did, keep))
+    for cid, members in clusters.items():
+        assert cid == min(d for d, _k in members)
+        assert sum(1 for _d, k in members if k) == 1
+        assert dict(members)[cid] is True
+    # the duplicated docs were clustered with their originals
+    for r in extra.select("doc_id").collect():
+        orig = r["doc_id"] - 1000000
+        assert a[r["doc_id"]][0] == a[orig][0]
+        assert a[r["doc_id"]][1] is False  # higher id never kept

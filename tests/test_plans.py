@@ -203,3 +203,16 @@ def test_similarity_bucket_exchanges_never_carry_vectors(spark, sf_dir):
                 l for l in b.splitlines() if l.startswith(("Input", "Arguments"))
             )
             assert "embedding#" not in detail and "vec#" not in detail, b
+
+
+def test_winnow_pair_exchanges_never_carry_text(spark, sf_dir):
+    """winnow_pairs joins on the inverted (id, fp) index; the document
+    text must never ride an exchange — it is consumed by the
+    fingerprint kernel before any shuffle."""
+    from grokspark.operators import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(winnow_pairs(docs, min_shared=20, max_fp_df=50), "simple")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line

@@ -200,3 +200,89 @@ def test_stream_route_sinks_match_batch_and_idempotent(spark, corpus, input_dir,
     after = spark.read.parquet(f"{out}/sinks")
     assert after.count() == before
     assert {r["batch_id"] for r in after.select("batch_id").distinct().collect()} == {0, 1}
+
+
+def test_stream_windowed_counts_append_finalization_and_state_eviction(spark, tmp_path):
+    """Watermark semantics that Spark actually GUARANTEES for append-
+    mode aggregation (and that we rely on at scale):
+
+    - the watermark advances per micro-batch from observed event times;
+    - every finalized (window, route, matched) group is emitted EXACTLY
+      once, with the full cross-batch count;
+    - closed-window state is EVICTED (state rows shrink once the
+      watermark passes a window) — bounded state, not O(stream);
+    - still-open windows are withheld from append output.
+
+    Deliberately NOT asserted: that a row arriving behind the watermark
+    is dropped. Spark documents the watermark as a *may*-drop bound —
+    measured here, a late row into an already-closed window is
+    aggregated and emitted immediately (numRowsDroppedByWatermark=0),
+    so exactly-once sinks must be idempotent on (window, keys), which
+    stream_route_sinks' batch_id-keyed publish is."""
+    from grokspark.datagen import line_for
+    from grokspark.streaming import read_sequence_stream, stream_windowed_route_counts
+
+    def rows(indices):
+        out = []
+        for i in indices:
+            line = line_for(i, "apache_access")
+            toks = list(line.encode("utf-8"))
+            out.append((f"apache_access-{i:08d}", toks, len(toks), "apache_access"))
+        return out
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    d = tmp_path / "late_in"
+    spark.createDataFrame(rows(range(1000, 1060)), schema).coalesce(1).write.parquet(
+        str(d / "p0")
+    )
+    import time
+
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # second batch pushes the watermark to 5004-300 s, closing batch-1's
+    # windows; its own window (t0+5000s) stays open
+    spark.createDataFrame(rows(range(5000, 5005)), schema).coalesce(1).write.parquet(
+        str(d / "p1")
+    )
+
+    stream = read_sequence_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    counts = stream_windowed_route_counts(stream, window="1 minute", watermark="5 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # watermark advanced across batches
+    wms = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p["eventTime"].get("watermark")
+    ]
+    assert wms == sorted(wms) and len(set(wms)) >= 2, wms
+
+    rows_out = spark.sql(
+        "SELECT win_start, route, matched, n FROM late_stream"
+    ).collect()
+    keys = [(r["win_start"], r["route"], r["matched"]) for r in rows_out]
+    assert len(keys) == len(set(keys)), "finalized group emitted twice"
+    by_start = {}
+    for r in rows_out:
+        by_start[r["win_start"].strftime("%H:%M:%S")] = (
+            by_start.get(r["win_start"].strftime("%H:%M:%S"), 0) + r["n"]
+        )
+    # batch-1 windows finalized with their exact counts
+    # (indices 1000..1019 -> [00:16,00:17), 1020..1059 -> [00:17,00:18))
+    assert by_start.get("00:16:00") == 20, by_start
+    assert by_start.get("00:17:00") == 40, by_start
+    # batch-2's own window is still open at stream end -> withheld
+    assert "01:23:00" not in by_start, by_start
+
+    # eviction: final state holds only the still-open window's groups,
+    # strictly fewer rows than the peak
+    so = [p["stateOperators"][0] for p in q.recentProgress if p["stateOperators"]]
+    state_rows = [s["numRowsTotal"] for s in so]
+    assert state_rows[-1] < max(state_rows), state_rows
