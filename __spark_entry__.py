@@ -119,7 +119,7 @@ def _grok_oracle_rows(n: int = GROK_N) -> dict[str, list[tuple]]:
     }
 
 
-def _grok_text_df(spark: SparkSession) -> DataFrame:
+def _grok_text_df(spark: SparkSession, n: int = GROK_N) -> DataFrame:
     """The grok corpus as a (doc_id, source, text) document table —
     deterministic and sf-independent, so pure-Python VALUES oracles can
     cover text operators DuckDB cannot express (SimHash, PNG decode)."""
@@ -127,7 +127,7 @@ def _grok_text_df(spark: SparkSession) -> DataFrame:
 
     rows = [
         (r["doc_id"], r["source"], bytes(r["tokens"]).decode("utf-8"))
-        for r in iter_rows(GROK_N)
+        for r in iter_rows(n)
     ]
     return spark.createDataFrame(rows, schema="doc_id string, source string, text string")
 
@@ -786,6 +786,68 @@ def _multimodal_oracle_rows() -> list[tuple]:
     return [("image", n, sum_w, sum_h, sum_luma, len(sha1s))]
 
 
+_MM_COLS = [
+    ("modality", "VARCHAR"),
+    ("n", "BIGINT"),
+    ("sum_width", "BIGINT"),
+    ("sum_height", "BIGINT"),
+    ("sum_luma_milli", "BIGINT"),
+    ("n_distinct", "BIGINT"),
+]
+
+RESIZE_MAX_DIM = 6
+VIDEO_N = 500
+VIDEO_FRAMES = 4
+VIDEO_STRIDE = 2
+
+
+@functools.lru_cache(maxsize=1)
+def _resize_oracle_rows() -> list[tuple]:
+    """Single-process reference for the resize query: fabricate,
+    thumbnail, decode — same stdlib code path as the Spark kernel."""
+    import hashlib
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.png import fake_png, png_features, thumbnail_png
+
+    n = sum_w = sum_h = sum_luma = 0
+    sha1s: set[str] = set()
+    for r in iter_rows(GROK_N):
+        text = bytes(r["tokens"]).decode("utf-8")
+        thumb = thumbnail_png(fake_png(r["doc_id"], text), RESIZE_MAX_DIM)
+        feats = png_features(thumb)
+        n += 1
+        sum_w += feats["width"]
+        sum_h += feats["height"]
+        sum_luma += feats["luma_milli"]
+        sha1s.add(hashlib.sha1(thumb).hexdigest())
+    return [("image", n, sum_w, sum_h, sum_luma, len(sha1s))]
+
+
+@functools.lru_cache(maxsize=1)
+def _video_oracle_rows() -> list[tuple]:
+    """Single-process reference for frame sampling: same GSV1
+    fabricate -> stride-sample -> per-frame decode."""
+    import hashlib
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.png import decode_video, fake_video, png_features
+
+    n = sum_w = sum_h = sum_luma = 0
+    sha1s: set[str] = set()
+    for r in iter_rows(VIDEO_N):
+        text = bytes(r["tokens"]).decode("utf-8")
+        frames = decode_video(fake_video(r["doc_id"], text, VIDEO_FRAMES))
+        for idx in range(0, len(frames), VIDEO_STRIDE):
+            feats = png_features(frames[idx])
+            n += 1
+            sum_w += feats["width"]
+            sum_h += feats["height"]
+            sum_luma += feats["luma_milli"]
+            sha1s.add(hashlib.sha1(frames[idx]).hexdigest())
+    return [("image", n, sum_w, sum_h, sum_luma, len(sha1s))]
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, distributed: deterministic PNG payloads
     rendered per row in mapInPandas, decoded with the pure-stdlib PNG
@@ -803,6 +865,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("luma_milli").alias("sum_luma_milli"),
         F.countDistinct("sha1").alias("n_distinct"),
     )
+
+
+def _feature_agg(feats: DataFrame) -> DataFrame:
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("luma_milli").alias("sum_luma_milli"),
+        F.countDistinct("sha1").alias("n_distinct"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed image resize: PNG payloads decoded, nearest-
+    neighbor thumbnailed to max dim 6, re-encoded, then feature-
+    extracted — the vision-preprocessing step. Oracle: identical
+    fabricate+thumbnail+decode single-process, as VALUES."""
+    from grokspark.operators.multimodal import (
+        extract_image_features,
+        png_payload_df,
+        resize_images,
+    )
+
+    payloads = png_payload_df(_grok_text_df(spark))
+    thumbs = resize_images(payloads, max_dim=RESIZE_MAX_DIM)
+    return _feature_agg(extract_image_features(thumbs, fake=False))
+
+
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: GSV1 video containers (PNG frames) parsed
+    distributed, every 2nd frame kept (1->N fan-out inside
+    mapInPandas), frames decoded and aggregated. Oracle: identical
+    fabricate -> stride-sample -> decode single-process, as VALUES."""
+    from grokspark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+        video_payload_df,
+    )
+
+    videos = video_payload_df(
+        _grok_text_df(spark, VIDEO_N), n_frames=VIDEO_FRAMES
+    )
+    frames = sample_video_frames(videos, stride=VIDEO_STRIDE)
+    return _feature_agg(extract_image_features(frames, fake=False))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -848,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "winnow_pairs": q_winnow_pairs,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "video_frame_features": q_video_frame_features,
     }
 
 
@@ -1261,14 +1369,8 @@ def oracle_sql() -> dict[str, str]:
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_shared", "BIGINT")],
         ),
         "multimodal_features": _values_sql(
-            _multimodal_oracle_rows(),
-            [
-                ("modality", "VARCHAR"),
-                ("n", "BIGINT"),
-                ("sum_width", "BIGINT"),
-                ("sum_height", "BIGINT"),
-                ("sum_luma_milli", "BIGINT"),
-                ("n_distinct", "BIGINT"),
-            ],
+            _multimodal_oracle_rows(), _MM_COLS
         ),
+        "multimodal_resize": _values_sql(_resize_oracle_rows(), _MM_COLS),
+        "video_frame_features": _values_sql(_video_oracle_rows(), _MM_COLS),
     }

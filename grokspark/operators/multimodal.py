@@ -22,13 +22,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grokspark.operators.png import PNG_MAGIC, fake_png, png_features
+from grokspark.operators.png import (
+    PNG_MAGIC,
+    decode_video,
+    fake_png,
+    fake_video,
+    png_features,
+    thumbnail_png,
+)
 
 __all__ = [
     "decode_image",
     "extract_image_features",
     "payload_df_from_text",
     "png_payload_df",
+    "resize_images",
+    "video_payload_df",
+    "sample_video_frames",
 ]
 
 FEATURE_SCHEMA = (
@@ -96,6 +106,111 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
+    """REAL distributed image resize: every PNG payload is decoded,
+    nearest-neighbor-downsampled so its longer side <= ``max_dim``, and
+    re-encoded (uniform 8-bit RGB) — the batch-preprocessing step a
+    vision-training pipeline runs before feature extraction. Output
+    keeps the payload-table shape, so it composes with
+    ``extract_image_features`` directly. Non-PNG payloads raise (the
+    codec gap is loud, never silent)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [thumbnail_png(bytes(p), max_dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].values,
+                    "modality": pdf["modality"].values,
+                    "payload": thumbs,
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in thumbs],
+                }
+            )
+
+    flat = df.select("item_id", "modality", "payload").mapInPandas(
+        resize,
+        schema="item_id string, modality string, payload binary, mime string, n_bytes long",
+    )
+    return flat.select(
+        "item_id", "modality", "payload", F.struct("mime", "n_bytes").alias("meta")
+    )
+
+
+def video_payload_df(
+    df: DataFrame, n_frames: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic video payload table from a text table: each row
+    becomes a GSV1 container of ``n_frames`` PNG frames (see
+    grokspark.operators.png — a real, decodable container; only the
+    per-frame codec is PNG because this environment has no video
+    codecs). Rendered distributed in mapInPandas."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                fake_video(str(i), t if t is not None else "", n_frames)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype(str).values,
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/x-gsv1",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = df.select(id_col, text_col).mapInPandas(
+        render,
+        schema="item_id string, modality string, payload binary, mime string, n_bytes long",
+    )
+    return flat.select(
+        "item_id", "modality", "payload", F.struct("mime", "n_bytes").alias("meta")
+    )
+
+
+def sample_video_frames(df: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame sampling: parse each GSV1 video payload, keep every
+    ``stride``-th frame (indices 0, stride, 2*stride, ...), and emit
+    one IMAGE-payload row per kept frame — the 1->N row fan-out a
+    frame-level training pipeline needs, done inside mapInPandas (an
+    output batch may hold frames of many inputs; Arrow batch sizing
+    caps memory). The result composes with ``extract_image_features``
+    / ``resize_images`` unchanged."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                frames = decode_video(bytes(payload))
+                for idx in range(0, len(frames), stride):
+                    rows.append((item_id, idx, frames[idx], len(frames[idx])))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "frame_idx", "payload", "n_bytes"]
+            )
+
+    flat = df.select("item_id", "payload").mapInPandas(
+        sample,
+        schema="item_id string, frame_idx int, payload binary, n_bytes long",
+    )
+    return flat.select(
+        F.concat_ws("#", "item_id", F.col("frame_idx").cast("string")).alias(
+            "item_id"
+        ),
+        F.col("item_id").alias("video_id"),
+        "frame_idx",
+        F.lit("image").alias("modality"),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"), F.col("n_bytes").alias("n_bytes")
+        ).alias("meta"),
+    )
 
 
 def payload_df_from_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

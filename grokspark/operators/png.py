@@ -19,7 +19,18 @@ import hashlib
 import struct
 import zlib
 
-__all__ = ["PNG_MAGIC", "encode_png", "decode_png", "png_features", "fake_png"]
+__all__ = [
+    "PNG_MAGIC",
+    "encode_png",
+    "decode_png",
+    "png_features",
+    "fake_png",
+    "thumbnail_png",
+    "VIDEO_MAGIC",
+    "encode_video",
+    "decode_video",
+    "fake_video",
+]
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -153,6 +164,85 @@ def png_features(data: bytes) -> dict:
         "luma_milli": luma_milli,
         "mean_luma": luma_milli / (1000.0 * n) if n else 0.0,
     }
+
+
+def thumbnail_png(data: bytes, max_dim: int) -> bytes:
+    """REAL image resize: decode, nearest-neighbor downsample so the
+    longer side is <= ``max_dim`` (aspect preserved, floor mapping
+    ``src = dst * src_dim // dst_dim`` — deterministic integers, no
+    float resampling), re-encode as 8-bit RGB. Non-RGB inputs are
+    normalized to RGB first (grey replicated, alpha dropped). Images
+    already within ``max_dim`` are still normalized+re-encoded, so the
+    output is uniformly RGB."""
+    img = decode_png(data)
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+    scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
+    nw = max(1, int(w / scale)) if scale > 1 else w
+    nh = max(1, int(h / scale)) if scale > 1 else h
+    out = bytearray(nw * nh * 3)
+    for y in range(nh):
+        sy = y * h // nh
+        row = sy * w * ch
+        for x in range(nw):
+            sx = x * w // nw
+            p = row + sx * ch
+            if ch == 1:
+                r = g = b = px[p]
+            elif ch == 2:
+                r = g = b = px[p]
+            else:
+                r, g, b = px[p], px[p + 1], px[p + 2]
+            o = (y * nw + x) * 3
+            out[o] = r
+            out[o + 1] = g
+            out[o + 2] = b
+    return encode_png(nw, nh, bytes(out))
+
+
+# -- minimal video container (real, decodable, stdlib-only) -------------------
+#
+# Real video codecs aren't available in this container, but FRAME
+# SAMPLING doesn't need one: GSV1 is a trivial length-prefixed
+# concatenation of PNG frames. The container parse, frame extraction,
+# stride selection, and per-frame decode are all real; only the codec
+# inside each frame is (deliberately) PNG.
+
+VIDEO_MAGIC = b"GSV1"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """GSV1 container: magic + frame count + length-prefixed frames."""
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_video(data: bytes) -> list[bytes]:
+    """Parse a GSV1 container back into its frame payloads."""
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a GSV1 container (bad magic)")
+    (n,) = struct.unpack_from(">I", data, 4)
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        frames.append(data[pos : pos + ln])
+        pos += ln
+    if pos != len(data):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def fake_video(key: str, text: str, n_frames: int = 4) -> bytes:
+    """Deterministic GSV1 test payload: ``n_frames`` PNG frames, each a
+    pure function of (key, frame index, text)."""
+    return encode_video(
+        [fake_png(f"{key}#frame{i}", text) for i in range(n_frames)]
+    )
 
 
 def fake_png(key: str, text: str) -> bytes:

@@ -547,3 +547,70 @@ def test_dedup_corpus_collapse_invariance_and_decisions(spark, docs):
         orig = r["doc_id"] - 1000000
         assert a[r["doc_id"]][0] == a[orig][0]
         assert a[r["doc_id"]][1] is False  # higher id never kept
+
+
+def test_thumbnail_png_and_video_container_roundtrip():
+    """Pure-codec invariants: GSV1 container round-trips frames
+    byte-for-byte; thumbnails respect max_dim, preserve aspect floor
+    mapping, and remain decodable RGB."""
+    from grokspark.operators.png import (
+        decode_png,
+        decode_video,
+        encode_video,
+        fake_png,
+        fake_video,
+        thumbnail_png,
+    )
+
+    frames = [fake_png(f"k{i}", f"text {i}") for i in range(5)]
+    assert decode_video(encode_video(frames)) == frames
+    v = fake_video("vid", "some text", n_frames=3)
+    assert len(decode_video(v)) == 3
+
+    for key in ["a", "b", "c"]:
+        png = fake_png(key, "payload " * 10)
+        src = decode_png(png)
+        th = decode_png(thumbnail_png(png, 4))
+        assert max(th["width"], th["height"]) <= 4
+        assert th["channels"] == 3
+        # aspect: longer side maps to 4, shorter scales proportionally
+        if src["width"] >= src["height"]:
+            assert th["width"] == 4
+        else:
+            assert th["height"] == 4
+
+
+def test_video_frame_sampling_distributed_matches_pure_python(spark):
+    """sample_video_frames stride semantics + per-frame payload
+    equality vs a single-process rerun of the same container ops."""
+    from grokspark.operators.multimodal import sample_video_frames, video_payload_df
+    from grokspark.operators.png import decode_video, fake_video
+
+    texts = [(f"d{i}", f"doc {i} body " * (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    videos = video_payload_df(df, n_frames=5)
+    frames = sample_video_frames(videos, stride=2).collect()
+
+    expected = {}
+    for did, text in texts:
+        fs = decode_video(fake_video(did, text, 5))
+        for idx in range(0, 5, 2):
+            expected[(did, idx)] = fs[idx]
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["payload"]) for r in frames}
+    assert got == expected
+    assert all(r["item_id"] == f"{r['video_id']}#{r['frame_idx']}" for r in frames)
+    assert {r["frame_idx"] for r in frames} == {0, 2, 4}
+
+
+def test_resize_images_distributed_matches_pure_python(spark):
+    from grokspark.operators.multimodal import png_payload_df, resize_images
+    from grokspark.operators.png import fake_png, thumbnail_png
+
+    texts = [(f"d{i}", f"body {i} " * 5) for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {
+        r["item_id"]: bytes(r["payload"])
+        for r in resize_images(png_payload_df(df), max_dim=5).collect()
+    }
+    for did, text in texts:
+        assert got[did] == thumbnail_png(fake_png(did, text), 5), did
