@@ -447,6 +447,20 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data ops --------------------------------------------------------
 
 
+KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch (K-minimum-values over md5
+    48-bit prefixes): unlike HLL, the estimate is reproducible
+    bit-for-bit in the SQL oracle — one double division of two exactly-
+    representable values. k=64 sketches the ~1.1k distinct o_custkeys
+    at the gate sf (relative error ~1/sqrt(62))."""
+    from grokspark.operators import kmv_distinct
+
+    return kmv_distinct(_read(spark, sf_dir, "orders"), "o_custkey", k=KMV_K)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import exact_dedup
 
@@ -935,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_k": q_events_props_k,
         "events_sessionize": q_events_sessionize,
         # training-data operators
+        "kmv_distinct": q_kmv_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1246,6 +1261,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents
             GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        """,
+        # KMV sketch: same md5-prefix hash, same k smallest, same single
+        # double division -> estimate matches Spark bit-for-bit
+        "kmv_distinct": f"""
+            WITH h AS (
+              SELECT DISTINCT
+                CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                     AS BIGINT) AS h
+              FROM orders
+            ), mins AS (
+              SELECT h FROM h ORDER BY h LIMIT {KMV_K}
+            )
+            SELECT COUNT(*) AS n_used, MAX(h) AS kth_hash,
+                   CASE WHEN COUNT(*) < {KMV_K}
+                        THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE CAST({(KMV_K - 1) * (1 << 48)} AS DOUBLE)
+                             / CAST(MAX(h) AS DOUBLE) END AS estimate
+            FROM mins
         """,
         "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # MinHash+LSH with bands=64: recall at s>=0.5 is 1-(1-s^2)^64

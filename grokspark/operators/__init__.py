@@ -22,6 +22,7 @@ from grokspark.operators.ivf import (
     seeded_centroids,
     train_ivf_centroids,
 )
+from grokspark.operators.sketches import kmv_distinct
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
     build_lsh_index,
@@ -65,4 +66,5 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "winnow_pairs",
+    "kmv_distinct",
 ]

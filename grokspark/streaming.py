@@ -35,6 +35,7 @@ from grokspark.udfs import grok_parse_router_udf
 __all__ = [
     "read_sequence_stream",
     "stream_windowed_route_counts",
+    "stream_sessionize",
     "stream_first_seen",
     "first_seen_filter",
     "stream_route_sinks",
@@ -97,6 +98,32 @@ def stream_windowed_route_counts(
             "route",
             "matched",
             "n",
+        )
+    )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    gap: str = "2 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming sessionization via native session windows: per-source
+    sessions close after ``gap`` of event-time silence — the streaming
+    twin of the batch lag+cumsum sessionizer (``events_sessionize``).
+    ``F.session_window`` keeps per-key open-session state and merges
+    windows as late-but-within-watermark rows arrive; append mode emits
+    each session exactly once, after the watermark passes its close.
+    Output: (source, sess_start, sess_end, n_rows)."""
+    withts = with_event_time(stream_df)
+    return (
+        withts.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("win"), "source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "source",
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "n_rows",
         )
     )
 

@@ -614,3 +614,25 @@ def test_resize_images_distributed_matches_pure_python(spark):
     }
     for did, text in texts:
         assert got[did] == thumbnail_png(fake_png(did, text), 5), did
+
+
+def test_kmv_distinct_exact_and_sketch_paths(spark):
+    """KMV: below k the count is exact; at k the estimate lands within
+    the theoretical ~1/sqrt(k-2) band (generous 5x allowance); the
+    sketch is invariant to duplication (distinct semantics)."""
+    from grokspark.operators import kmv_distinct
+
+    n = 5000
+    df = spark.range(n).selectExpr("CAST(id % 1000 AS long) AS v")
+    # exact path: k > distinct
+    row = kmv_distinct(df, "v", k=2048).head()
+    assert row["n_used"] == 1000 and row["estimate"] == 1000.0
+    # sketch path: k << distinct
+    df2 = spark.range(n).selectExpr("id AS v")
+    row = kmv_distinct(df2, "v", k=128).head()
+    assert row["n_used"] == 128
+    rel_err = abs(row["estimate"] - n) / n
+    assert rel_err < 5 / (126 ** 0.5), (row["estimate"], rel_err)
+    # duplication invariance
+    row2 = kmv_distinct(df2.unionAll(df2), "v", k=128).head()
+    assert (row2["kth_hash"], row2["estimate"]) == (row["kth_hash"], row["estimate"])

@@ -286,3 +286,63 @@ def test_stream_windowed_counts_append_finalization_and_state_eviction(spark, tm
     so = [p["stateOperators"][0] for p in q.recentProgress if p["stateOperators"]]
     state_rows = [s["numRowsTotal"] for s in so]
     assert state_rows[-1] < max(state_rows), state_rows
+
+
+def test_stream_sessionize_native_session_windows(spark, tmp_path):
+    """Native session windows: per-source sessions close after the gap,
+    merge across micro-batches, and finalize exactly once with start =
+    first event, end = last event + gap, n = row count."""
+    from grokspark.datagen import line_for
+    from grokspark.streaming import read_sequence_stream, stream_sessionize
+
+    def rows(source, indices):
+        out = []
+        for i in indices:
+            line = line_for(i, source)
+            toks = list(line.encode("utf-8"))
+            out.append((f"{source}-{i:08d}", toks, len(toks), source))
+        return out
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    d = tmp_path / "sess_in"
+    # batch 1: two apache sessions (gap 120 s) + one elb session
+    spark.createDataFrame(
+        rows("apache_access", [0, 30, 60, 500, 540]) + rows("elb", [10, 40]),
+        schema,
+    ).coalesce(1).write.parquet(str(d / "p0"))
+    import time
+
+    time.sleep(1.1)
+    # batch 2: continues apache session B within the gap (merge across
+    # batches), then a far-future row closes everything else
+    spark.createDataFrame(
+        rows("apache_access", [620]) + rows("apache_access", [5000]), schema
+    ).coalesce(1).write.parquet(str(d / "p1"))
+
+    stream = read_sequence_stream(spark, str(d) + "/*/", max_files_per_trigger=1)
+    sess = stream_sessionize(stream, gap="2 minutes", watermark="5 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["source"], r["sess_start"].strftime("%H:%M:%S"),
+         r["sess_end"].strftime("%H:%M:%S")): r["n_rows"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    expected = {
+        # apache A: events 0,30,60 -> [0, 60+120)
+        ("apache_access", "00:00:00", "00:03:00"): 3,
+        # apache B: 500,540 then 620 arrives NEXT batch within gap ->
+        # one merged session [500, 620+120)
+        ("apache_access", "00:08:20", "00:12:20"): 3,
+        # elb: 10,40 -> [10, 160)
+        ("elb", "00:00:10", "00:02:40"): 2,
+    }
+    assert got == expected, got
