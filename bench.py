@@ -247,7 +247,17 @@ Normalize the Spark efficiencies against these ceilings to compare with
 a multi-node cluster, where SMT-sibling sharing between JVM and Python
 workers is absent.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # Preserve manually-maintained addenda: everything from the first
+    # "## Round-" section of the existing file onward survives a
+    # regenerate (a prior run of this function once clobbered the
+    # recorded per-session history — never again).
+    out_path = bench_dir / "BASELINE.md"
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n## Round-")
+        if idx != -1:
+            md = md.rstrip() + "\n" + old[idx:]
+    out_path.write_text(md)
     print(f"scaling efficiency 4->16: {eff_4_16:.3f}, 8->32: {eff_8_32:.3f} -> BENCH/BASELINE.md", file=sys.stderr)
 
 

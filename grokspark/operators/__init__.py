@@ -1,8 +1,14 @@
 """Training-data-pipeline operators over document/embedding tables.
 
-All hot paths are built-in ``pyspark.sql.functions`` expressions
-(JVM-side, whole-stage-codegen'd); Python appears only in the
-explicitly-marked multimodal decode stubs.
+Hot paths are built-in ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen'd) wherever expressions express the semantics
+cheaply. Python appears only as vectorized Arrow-batched numpy kernels
+where expressions can't compete, each with its measured rationale in
+its docstring: SimHash bit votes (no SQL shape), winnowing (interpreted
+HOF lambdas make the expression form cubic), high-dim LSH bucketing
+(plan-literal bloat past ~4k floats), and the multimodal codecs
+(decode/resize/frame-sample; non-PNG image codecs remain explicit
+fakes/NotImplementedError).
 """
 
 from grokspark.operators.dedup import (
