@@ -49,9 +49,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep one representative (min id) per distinct normalized text.
     One hash aggregate; at scale, group on md5(text) instead of text to
     shrink shuffle width — both shown here (fp is the shuffle key)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    from grokspark.operators.textops import content_fingerprint_col
+
     return (
-        df.withColumn("_fp", F.md5(normalized))
+        df.withColumn("_fp", content_fingerprint_col(F.col(text_col)))
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("_fp")
@@ -551,8 +552,12 @@ def dedup_corpus(
     ``collapse_exact=False`` (byte-equal docs have Jaccard 1 >=
     threshold, so they cluster anyway — asserted in tests); the flag
     only changes how much text the LSH stage chews."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    ids = df.select(F.col(id_col).alias("id"), F.md5(norm).alias("_fp"))
+    from grokspark.operators.textops import content_fingerprint_col
+
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        content_fingerprint_col(F.col(text_col)).alias("_fp"),
+    )
     if collapse_exact:
         reps = ids.groupBy("_fp").agg(F.min("id").alias("rep_id"))
         doc_rep = ids.join(reps, "_fp").select("id", "rep_id")

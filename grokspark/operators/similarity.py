@@ -316,14 +316,11 @@ def knn_join(
     quadratic within a bucket, so it's the expected bucket population
     n_rows/2^n_planes that has to stay bounded (see
     ``recommended_n_planes``). Pass ``n_planes=None`` to auto-size
-    from the corpus rowcount; an explicit value that leaves buckets
-    overfull warns loudly. Either way this op runs one extra count()
-    of the id column up front — noise next to the join itself."""
-    n_rows = df.count()
+    from the corpus rowcount (costs one count() of the id column —
+    noise next to the join); an explicit value is trusted as-is, no
+    extra scan — check it against ``recommended_n_planes`` yourself."""
     if n_planes is None:
-        n_planes = recommended_n_planes(n_rows)
-    else:
-        _warn_if_buckets_overfull(n_rows, n_planes, "knn_join")
+        n_planes = recommended_n_planes(df.count())
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
@@ -367,13 +364,10 @@ def embedding_lsh_pairs(
     is governed by n_planes/probe_hamming and measured against the
     baseline in tests). Deterministic: the candidate rule itself is
     recomputable (the driver oracle mirrors it in SQL). ``n_planes``
-    sizing follows the same rule as ``knn_join`` (None = auto; overfull
-    buckets warn)."""
-    n_rows = df.count()
+    sizing follows the same rule as ``knn_join`` (None = auto via one
+    count(); explicit values are trusted without an extra scan)."""
     if n_planes is None:
-        n_planes = recommended_n_planes(n_rows)
-    else:
-        _warn_if_buckets_overfull(n_rows, n_planes, "embedding_lsh_pairs")
+        n_planes = recommended_n_planes(df.count())
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )

@@ -18,6 +18,7 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprint",
+    "content_fingerprint_col",
     "winnow_fingerprints",
     "winnow_fingerprints_py",
     "winnow_pairs",
@@ -93,11 +94,19 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def content_fingerprint_col(text: Column) -> Column:
+    """THE content-identity rule: md5 of whitespace-normalized
+    lowercase text (md5, not xxhash, so any engine reproduces it).
+    Single source of truth — ``fingerprint``, ``exact_dedup`` and
+    ``dedup_corpus``'s collapse stage all use this Column, and the
+    DuckDB oracles mirror the same expression; change it here or the
+    Spark/oracle pair silently diverges."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Content fingerprint: md5 of whitespace-normalized lowercase text.
-    md5 (not xxhash) so any engine reproduces it."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.withColumn("fp", F.md5(normalized))
+    """Content fingerprint column (see ``content_fingerprint_col``)."""
+    return df.withColumn("fp", content_fingerprint_col(F.col(text_col)))
 
 
 # -- winnowing (rolling-hash) fingerprints -----------------------------------

@@ -650,13 +650,32 @@ class GrokPipeline:
         node_ok: Optional[bool]
         try:
             node = seq_df._jdf.queryExecution().analyzed()
+            node_name = node.nodeName()
             while node.nodeName() == "Project":
+                # only PRUNING projections may pass: a Project whose
+                # list contains anything but bare attribute references
+                # (an Alias = computed/renamed column, possibly
+                # shadowing an existing name+type) would be silently
+                # dropped by the per-range re-read
+                plist = node.projectList()
+                for i in range(plist.size()):
+                    cls = plist.apply(i).getClass().getSimpleName()
+                    if cls != "AttributeReference":
+                        raise ValueError(
+                            "range_units input has a computed/renamed "
+                            f"column (plan expression {cls}); the "
+                            "per-range re-read would silently drop it — "
+                            "materialize the transformed input to "
+                            "parquet first"
+                        )
                 node = node.children().apply(0)
             node_ok = (
                 node.nodeName() == "LogicalRelation"
                 and "parquet" in node.toString().splitlines()[0].lower()
             )
             node_name = node.nodeName()
+        except ValueError:
+            raise
         except Exception:  # pragma: no cover - Spark-version drift
             node_ok, node_name = None, "<plan introspection unavailable>"
             warnings.warn(

@@ -50,7 +50,7 @@ def read_raw_lines(
     spark: SparkSession,
     path: str,
     source: Optional[str] = None,
-    id_mode: str = "content",
+    id_mode: str = "split",
 ) -> DataFrame:
     """Ingest adapter: raw text log files -> the tokenized-sequence
     table shape ``(doc_id, tokens: array<int>, n_tok, source)`` the
@@ -65,18 +65,20 @@ def read_raw_lines(
 
     ``id_mode`` picks the doc_id scheme:
 
-    - ``"content"`` (default): ``<basename>#<sha1(basename + line)>``
-      — stable across input split plans, so re-ingesting the same
-      files after a file-size/config change (which re-splits them)
-      yields identical ids, and doc_id-keyed dedup/resume downstream
-      keeps working. Byte-identical duplicate lines in the same file
-      coalesce to one id BY DESIGN (same content, one document);
-      pipelines that must preserve such duplicates as distinct rows
-      need the positional scheme.
-    - ``"split"``: ``<basename>#<partition>-<offset>`` — positionally
-      unique, but deterministic only for a fixed file set AND split
-      plan (line offsets are per input split, which Spark derives from
-      file sizes)."""
+    - ``"split"`` (default): ``<basename>#<partition>-<offset>`` —
+      positionally unique (repeated identical lines stay distinct
+      rows) and its numeric suffix feeds the streaming module's
+      event-time derivation; deterministic only for a fixed file set
+      AND split plan (line offsets are per input split, which Spark
+      derives from file sizes).
+    - ``"content"``: ``<basename>#<sha1(basename + line)>`` — stable
+      across input split plans, so re-ingesting the same files after a
+      file-size/config change (which re-splits them) yields identical
+      ids and doc_id-keyed dedup/resume downstream keeps working. Two
+      caveats make it OPT-IN: byte-identical duplicate lines in the
+      same file coalesce to one id (same content, one document — wrong
+      for e.g. repeated heartbeat events), and the hex suffix is not
+      an index (streaming event-time derivation would yield NULL)."""
     import hashlib
     import os
 

@@ -296,8 +296,14 @@ def test_ranged_mode_rejects_transformed_or_nonparquet_input(spark, seq_parquet,
 
     # a computed column would be silently dropped by the re-read
     computed = spark.read.parquet(seq_parquet).withColumn("extra", F.lit(1))
-    with pytest.raises(ValueError, match="computed or retyped"):
+    with pytest.raises(ValueError, match="computed"):
         GrokPipeline(spark, cfg).run(computed)
+
+    # same-name same-type REPLACEMENT is the sneaky case: the schema
+    # round-trip can't see it, the plan walk must (Alias in the Project)
+    shadowed = spark.read.parquet(seq_parquet).withColumn("n_tok", F.lit(0))
+    with pytest.raises(ValueError, match="computed"):
+        GrokPipeline(spark, cfg).run(shadowed)
 
 
 def test_ranged_mode_accepts_pruning_projection(spark, seq_parquet, oracle, tmp_path):
