@@ -447,6 +447,37 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data ops --------------------------------------------------------
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.25
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by salted md5-prefix hash —
+    stable under reruns/repartitioning/corpus growth, unlike
+    randomSplit. Oracle: the identical hash + exact integer thresholds
+    in SQL, so every assignment matches bit-for-bit."""
+    from grokspark.operators import hash_split
+
+    docs = hash_split(_read(spark, sf_dir, "documents"), SPLIT_WEIGHTS)
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample (nested across fractions, same rows
+    every run). Oracle: same salted hash + threshold in SQL."""
+    from grokspark.operators import hash_sample
+
+    s = hash_sample(_read(spark, sf_dir, "documents"), SAMPLE_FRACTION)
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 KMV_K = 64
 
 
@@ -949,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_k": q_events_props_k,
         "events_sessionize": q_events_sessionize,
         # training-data operators
+        "hash_split_counts": q_hash_split_counts,
+        "hash_sample": q_hash_sample,
         "kmv_distinct": q_kmv_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -994,6 +1027,40 @@ def _lsh_bucket_sql(n_planes: int = 8) -> str:
         + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+
+
+def _duck_salted_hash(salt: str) -> str:
+    return (
+        "CAST(('0x' || substring(md5('" + salt + ":' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+
+
+def _hash_split_oracle_sql() -> str:
+    from grokspark.operators.sampling import split_thresholds
+
+    h = _duck_salted_hash("split")
+    case = "CASE "
+    prev = None
+    for label, bound in split_thresholds(SPLIT_WEIGHTS):
+        case += f"WHEN {h} < {bound} THEN '{label}' "
+        prev = label
+    case += f"ELSE '{prev}' END"
+    return f"""
+        SELECT {case} AS split, COUNT(*) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents GROUP BY 1
+    """
+
+
+def _hash_sample_oracle_sql() -> str:
+    space = 1 << 48
+    bound = space * round(SAMPLE_FRACTION * 1_000_000) // 1_000_000
+    h = _duck_salted_hash("sample")
+    return f"""
+        SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               MIN(doc_id) AS min_id
+        FROM documents WHERE {h} < {bound}
+    """
 
 
 def _ann_ivf_oracle_sql(
@@ -1262,6 +1329,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
         """,
+        # hash split/sample: identical salted md5-prefix hash + exact
+        # integer thresholds -> every per-row assignment matches
+        "hash_split_counts": _hash_split_oracle_sql(),
+        "hash_sample": _hash_sample_oracle_sql(),
         # KMV sketch: same md5-prefix hash, same k smallest, same single
         # double division -> estimate matches Spark bit-for-bit
         "kmv_distinct": f"""

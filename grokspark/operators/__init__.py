@@ -28,6 +28,7 @@ from grokspark.operators.ivf import (
     seeded_centroids,
     train_ivf_centroids,
 )
+from grokspark.operators.sampling import hash_sample, hash_split
 from grokspark.operators.sketches import kmv_distinct
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
@@ -73,4 +74,6 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_pairs",
     "kmv_distinct",
+    "hash_split",
+    "hash_sample",
 ]

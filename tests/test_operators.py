@@ -636,3 +636,38 @@ def test_kmv_distinct_exact_and_sketch_paths(spark):
     # duplication invariance
     row2 = kmv_distinct(df2.unionAll(df2), "v", k=128).head()
     assert (row2["kth_hash"], row2["estimate"]) == (row["kth_hash"], row["estimate"])
+
+
+def test_hash_split_and_sample_determinism(spark, docs):
+    """Split/sample assignments are pure functions of the id: invariant
+    to repartitioning, stable across calls, nested across fractions,
+    and decorrelated between salts."""
+    from grokspark.operators import hash_sample, hash_split
+    from grokspark.operators.sampling import split_thresholds
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17), w).collect()
+    }
+    assert a == b and len(a) == docs.count()
+    assert set(a.values()) == {"train", "val", "test"}
+    # rough proportions (binomial tolerance on 500 docs)
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9, train_frac
+
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.10).collect()}
+    s25 = {r["doc_id"] for r in hash_sample(docs, 0.25).collect()}
+    assert s10 <= s25  # nested
+    assert 0.15 < len(s25) / n < 0.35
+    # different salt -> different (decorrelated) subset
+    other = {r["doc_id"] for r in hash_sample(docs, 0.25, salt="other").collect()}
+    assert other != s25
+
+    # threshold math is exact-integer and covers the whole space
+    ths = split_thresholds(w)
+    assert ths[-1][1] == 1 << 48
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({"a": 0.5, "b": 0.1})
