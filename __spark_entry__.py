@@ -447,6 +447,54 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- training-data ops --------------------------------------------------------
 
 
+PACK_MAX_LEN = 512
+PACK_BUCKETS = 32
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into <=512-token training rows (greedy by id
+    within md5 hash buckets — deterministic regardless of
+    partitioning). Aggregates pack counts, token totals, and the
+    packed-row utilization; oracle: the identical pure-Python greedy
+    per bucket, as VALUES."""
+    from grokspark.operators import pack_sequences
+
+    packs = pack_sequences(
+        _grok_seq_df(spark), max_len=PACK_MAX_LEN, n_buckets=PACK_BUCKETS
+    )
+    return packs.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_truncated").cast("long").alias("n_truncated"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _pack_oracle_rows() -> list[tuple]:
+    """Pure-Python rerun of the identical bucketing + greedy packing."""
+    import collections
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.packing import pack_bucket_of, pack_sequences_py
+
+    buckets: dict[int, list] = collections.defaultdict(list)
+    for r in iter_rows(GROK_N):
+        buckets[pack_bucket_of(r["doc_id"], PACK_BUCKETS)].append(
+            (r["doc_id"], r["tokens"])
+        )
+    n_packs = n_docs = sum_tok = max_tok = n_trunc = 0
+    for rows in buckets.values():
+        for p in pack_sequences_py(rows, PACK_MAX_LEN):
+            n_packs += 1
+            n_docs += p["n_docs"]
+            sum_tok += p["n_tok"]
+            max_tok = max(max_tok, p["n_tok"])
+            n_trunc += p["n_truncated"]
+    return [(n_packs, n_docs, sum_tok, max_tok, n_trunc)]
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_FRACTION = 0.25
 
@@ -982,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "hash_split_counts": q_hash_split_counts,
         "hash_sample": q_hash_sample,
+        "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1333,6 +1382,16 @@ def oracle_sql() -> dict[str, str]:
         # integer thresholds -> every per-row assignment matches
         "hash_split_counts": _hash_split_oracle_sql(),
         "hash_sample": _hash_sample_oracle_sql(),
+        "pack_sequences": _values_sql(
+            _pack_oracle_rows(),
+            [
+                ("n_packs", "BIGINT"),
+                ("n_docs", "BIGINT"),
+                ("sum_tok", "BIGINT"),
+                ("max_tok", "INTEGER"),
+                ("n_truncated", "BIGINT"),
+            ],
+        ),
         # KMV sketch: same md5-prefix hash, same k smallest, same single
         # double division -> estimate matches Spark bit-for-bit
         "kmv_distinct": f"""

@@ -28,6 +28,7 @@ from grokspark.operators.ivf import (
     seeded_centroids,
     train_ivf_centroids,
 )
+from grokspark.operators.packing import pack_sequences
 from grokspark.operators.sampling import hash_sample, hash_split
 from grokspark.operators.sketches import kmv_distinct
 from grokspark.operators.similarity import (
@@ -76,4 +77,5 @@ __all__ = [
     "kmv_distinct",
     "hash_split",
     "hash_sample",
+    "pack_sequences",
 ]

@@ -671,3 +671,52 @@ def test_hash_split_and_sample_determinism(spark, docs):
     assert ths[-1][1] == 1 << 48
     with pytest.raises(ValueError, match="sum to 1"):
         split_thresholds({"a": 0.5, "b": 0.1})
+
+
+def test_pack_sequences_deterministic_and_correct(spark):
+    """Packing: partition-independent output, per-pack invariants
+    (<= max_len, contiguous id order within bucket, truncation flags),
+    exact equality with the pure-Python reference per bucket."""
+    import collections
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators import pack_sequences
+    from grokspark.operators.packing import pack_bucket_of, pack_sequences_py
+
+    corpus = list(iter_rows(300))
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    df = spark.createDataFrame(corpus, schema)
+    max_len = 400
+
+    a = pack_sequences(df, max_len, n_buckets=8).collect()
+    b = pack_sequences(df.repartition(13), max_len, n_buckets=8).collect()
+    key = lambda r: (r["bucket"], r["pack_id"])  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[1])) == sorted(
+        [tuple(r) for r in b], key=lambda t: (t[0], t[1])
+    )
+
+    # invariants + reference equality
+    buckets: dict[int, list] = collections.defaultdict(list)
+    for r in corpus:
+        buckets[pack_bucket_of(r["doc_id"], 8)].append((r["doc_id"], r["tokens"]))
+    by_bucket: dict[int, list] = collections.defaultdict(list)
+    for r in a:
+        by_bucket[r["bucket"]].append(r)
+    all_docs = []
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: int(r["pack_id"].split("#")[1]))
+        expected = pack_sequences_py(buckets[bucket], max_len)
+        assert len(rows) == len(expected)
+        for got, exp in zip(rows, expected):
+            assert got["n_tok"] == exp["n_tok"] <= max_len
+            assert got["doc_ids"] == exp["doc_ids"]
+            assert got["tokens"] == exp["tokens"]
+            assert got["n_truncated"] == exp["n_truncated"]
+            all_docs.extend(got["doc_ids"])
+    assert sorted(all_docs) == sorted(r["doc_id"] for r in corpus)
+
+    # truncation: a doc longer than max_len is cut and flagged
+    long_doc = [("big", list(range(100)) * 10, 1000, "apache_access")]
+    small = spark.createDataFrame(long_doc, schema)
+    p = pack_sequences(small, max_len=64, n_buckets=2).collect()
+    assert len(p) == 1 and p[0]["n_tok"] == 64 and p[0]["n_truncated"] == 1
