@@ -60,15 +60,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Formulated as an (n-1)-deep ``zip_with`` fold over shifted word
+    slices — n slices total, each gram built by concatenation — rather
+    than the obvious ``transform(sequence(0, size-n), i ->
+    array_join(slice(w, i+1, n)))``: higher-order lambdas are
+    interpreted, and a slice PER INDEX makes that form O(words^2) per
+    document (measured 7x slower at sf0.1; it was the dominant map-side
+    cost of the whole MinHash path)."""
     w = F.split(F.lower(F.trim(text)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
+    size = F.size(w)
+    glen = size - (n - 1)
+    grams = F.slice(w, 1, glen)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, glen), lambda a, b: F.concat_ws(" ", a, b)
+        )
     # documents shorter than n words get their whole text as one shingle
     short = F.array(F.array_join(w, " "))
-    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(short))
+    return F.array_distinct(F.when(size >= n, grams).otherwise(short))
 
 
 def jaccard_pairs(
@@ -137,6 +148,35 @@ def minhash_signature_from_grams(grams: Column, num_hashes: int = 128) -> Column
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a per-row expression stage across the full core pool: a
+    small local input (one parquet split) would otherwise evaluate the
+    whole map stage — the n-gram shingle expression is the dominant
+    cost of the MinHash path, measured ~6 s single-core at sf0.1 — on
+    one core. No-op when the input already has >= defaultParallelism
+    partitions, which is always true at real scale (scan splits >>
+    cores), so no shuffle is added on a cluster."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _signature_table_from_grams(grams_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, m0..m{num_hashes-1}) from a precomputed ``(id, grams)``
+    table — the shared tail of ``minhash_signature_table`` (see its
+    docstring for the shape rationale)."""
+    hashed = grams_df.select(
+        "id", F.explode("grams").alias("gram")
+    ).select("id", F.xxhash64("gram").alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signature_table(
     df: DataFrame,
     n: int = 3,
@@ -158,17 +198,10 @@ def minhash_signature_table(
     collapses each document to one row map-side (a document's grams
     never span partitions), so the exchange carries ~8*num_hashes bytes
     per DOCUMENT, not per gram. 95 s -> 4 s for the full pair op."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+    grams_df = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("grams")
     )
-    hashed = ex.select("id", F.xxhash64("gram").alias("h"))
-    return hashed.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    return _signature_table_from_grams(grams_df, num_hashes)
 
 
 def minhash_band_buckets(
@@ -186,8 +219,12 @@ def minhash_band_buckets(
     self-join moves ~24 bytes/row, not the shingle arrays. Band hashes
     come straight off the signature-table columns (no per-row array
     rebuild)."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signature_table(df, n, num_hashes, text_col, id_col)
+    return _band_buckets_from_sig(sig, num_hashes, bands)
+
+
+def _band_buckets_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
     return sig.select(
         "id",
         F.posexplode(
@@ -216,6 +253,10 @@ def minhash_lsh_candidates(
     (band_id, band_hash), dedupe (id_a, id_b). No gram arrays anywhere
     in this plan (plan-asserted in tests/test_plans.py)."""
     banded = minhash_band_buckets(df, n, num_hashes, bands, text_col, id_col)
+    return _candidates_from_banded(banded)
+
+
+def _candidates_from_banded(banded: DataFrame) -> DataFrame:
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -237,6 +278,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
@@ -251,22 +293,68 @@ def minhash_lsh_pairs(
        joins, each moving every gram array at most once;
     3. exact verify: true n-gram Jaccard >= threshold.
 
+    The ``(id, grams)`` shingle table feeds three consumers (the
+    signature explode plus both verify branches), and the shingle
+    expression is the dominant map-side cost of the whole op — so by
+    default it is evaluated ONCE and materialized (``localCheckpoint``;
+    a durable checkpoint/table on a real cluster), the same discipline
+    as ``duplicate_clusters``'s edge set. ``materialize=False`` keeps
+    the op fully lazy (3x recompute). Measured at sf0.1/local[32]:
+    14.9 s -> ~3 s together with the gram-stage parallelism fix.
+
     Precision is exact (every emitted pair is verified); recall is the
     LSH collision probability 1-(1-s^r)^b — pick bands/num_hashes for
     the target threshold (bands=64, num_hashes=128 makes misses at
     s>=0.5 ~1e-8, used by the driver oracle query)."""
-    cands = minhash_lsh_candidates(df, n, num_hashes, bands, text_col, id_col)
-    grams = df.select(
-        F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("grams")
-    )
+    grams = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        ngrams(F.col(text_col), n).alias("grams"),
+    ).withColumn("ng", F.size("grams"))
+    if materialize:
+        grams = grams.localCheckpoint()
+    sig = _signature_table_from_grams(grams, num_hashes)
+    banded = _band_buckets_from_sig(sig, num_hashes, bands)
+    if materialize:
+        # the band table is read by BOTH sides of the candidate
+        # self-join; without this the whole explode+hash+128-min-agg
+        # chain executes twice (ReusedExchange does not always cover
+        # the post-agg projection). Narrow rows: 24 bytes x bands/doc.
+        banded = banded.localCheckpoint()
+    # spread the verify stage across the full shuffle width: the
+    # candidate rows are narrow (16 bytes), so AQE's byte-based
+    # coalescing squeezes the join down to a handful of tasks — but the
+    # per-row cost here is the gram-set intersect (CPU, not bytes).
+    # Explicitly hash-partitioning the pairs on id_a at the configured
+    # shuffle width restores full parallelism (measured 5.4x on the
+    # verify stage at sf0.1/local[32]); it is the same exchange the
+    # join would perform anyway, minus the runtime coalesce.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cands = _candidates_from_banded(banded).repartition(n_part, "id_a")
     joined = (
-        cands.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")), "id_a")
-        .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")), "id_b")
+        cands.join(
+            grams.select(
+                F.col("id").alias("id_a"),
+                F.col("grams").alias("grams_a"),
+                F.col("ng").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            grams.select(
+                F.col("id").alias("id_b"),
+                F.col("grams").alias("grams_b"),
+                F.col("ng").alias("nb"),
+            ),
+            "id_b",
+        )
     )
+    # |A u B| = |A| + |B| - |A n B| (gram arrays are distinct-element),
+    # so one array_intersect does the work of intersect + union — the
+    # union evaluation was half the verify stage's CPU
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
+    union = (F.col("na") + F.col("nb") - inter).cast("double")
     return (
-        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        joined.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -311,15 +399,22 @@ def simhash_batch(texts, bits: int = 64) -> "np.ndarray":
     nz = counts > 0
     if all_words:
         hs = _fnv1a_batch(all_words)
-        bits_m = (
-            (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
+        # uint8 bit matrix via unpackbits: 1 byte/word/bit (~64 B/word
+        # peak, not the 512 B/word an int64 matrix costs — and no
+        # transient uint64 broadcast either, unlike (hs>>i)&1);
+        # reduceat accumulates in int64 via dtype=, so segments longer
+        # than 255 words cannot overflow the uint8 storage type
+        bits_m = np.unpackbits(
+            hs.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        )[:, :bits]
         # segmented per-doc vote sums: empty docs are excluded, so
         # segment starts are strictly increasing and reduceat's
         # empty-segment quirk never applies
         offsets = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        sums = np.add.reduceat(bits_m, offsets[nz], axis=0)
+        sums = np.add.reduceat(bits_m, offsets[nz], axis=0, dtype=np.int64)
         votes = 2 * sums - counts[nz, None]
         sigs = (
             (votes > 0).astype(np.uint64)

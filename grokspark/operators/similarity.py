@@ -162,6 +162,9 @@ def _lsh_bucket_udf(planes: list[list[float]]):
     weights = (np.int64(1) << np.arange(len(planes))).astype(np.int64)
 
     def bucket(vecs):
+        if len(vecs) == 0:
+            # np.array([]) is shape (0,), not (0, dim) — `@ mat` raises
+            return pd.Series([], dtype="int64")
         arr = np.array(vecs.tolist(), dtype=np.float64)
         return pd.Series(((arr @ mat >= 0) * weights).sum(axis=1))
 

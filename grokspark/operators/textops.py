@@ -276,6 +276,7 @@ def winnow_pairs(
     window: int = WINNOW_W,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` for pairs sharing >= ``min_shared``
@@ -293,11 +294,16 @@ def winnow_pairs(
     max_fp_df^2/2. Classic df-pruning from the MOSS/winnowing
     literature; None keeps every fp (exactness for small corpora).
 
-    This convenience composition re-evaluates the fingerprint kernel
-    on each join branch (3x with the cap); at real scale materialize
-    ``winnow_fingerprints`` once (checkpoint or table) and run the
-    join/cap over that."""
+    The ``(id, fp)`` index is referenced by every join branch (3x with
+    the cap), so by default it is materialized ONCE inside the op
+    (``localCheckpoint`` — same discipline as ``duplicate_clusters``'s
+    edge set; on a real cluster, a durable checkpoint/table plays the
+    same role) instead of re-running the Python fingerprint kernel per
+    branch. ``materialize=False`` keeps the op fully lazy for callers
+    that manage their own caching of a tiny corpus."""
     fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    if materialize:
+        fps = fps.localCheckpoint()
     if max_fp_df is not None:
         keep = (
             fps.groupBy("fp")

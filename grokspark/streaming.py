@@ -177,22 +177,31 @@ def stream_route_sinks(
         )
         # staged write + rename publish (the batch pipeline's _commit
         # discipline): parquet overwrite is not atomic on a local FS, so
-        # a replay writing in place could expose a missing/partial batch
-        # to concurrent readers of out_dir/sinks. Staging keeps the
-        # visible window to one directory rename.
+        # a replay writing in place could expose a partial batch to
+        # concurrent readers of out_dir/sinks. On replay the stale
+        # batch dir is first renamed ASIDE (to a _tombstone path
+        # outside sinks/), then the staged dir renamed into place — a
+        # concurrent reader sees old-or-new, never missing-or-partial;
+        # the tombstone is deleted only after publish.
         staging = f"{out_dir}/_staging/batch_id={batch_id}"
         final = f"{out_dir}/sinks/batch_id={batch_id}"
+        tombstone = f"{out_dir}/_tombstone/batch_id={batch_id}"
         if os.path.exists(staging):
             shutil.rmtree(staging)
+        if os.path.exists(tombstone):  # crashed mid-publish last time
+            shutil.rmtree(tombstone)
         (
             parsed.write.mode("overwrite")
             .partitionBy("route", "pattern_name")
             .parquet(staging)
         )
-        if os.path.exists(final):
-            shutil.rmtree(final)
         os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            os.makedirs(os.path.dirname(tombstone), exist_ok=True)
+            os.replace(final, tombstone)
         os.replace(staging, final)
+        if os.path.exists(tombstone):
+            shutil.rmtree(tombstone)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

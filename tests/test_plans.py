@@ -112,11 +112,23 @@ def test_minhash_candidate_stage_never_shuffles_grams(spark, sf_dir):
     ride it. The entire candidate plan (explode -> band-bucket self-join
     -> distinct pairs) must not reference the gram arrays at all — they
     are joined back only for the verify step."""
+    import re
+
     from grokspark.operators import minhash_lsh_candidates, minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand_plan = explain_str(minhash_lsh_candidates(docs, n=2, bands=64), "simple")
-    assert "grams" not in cand_plan
+    # every exchange in the candidate plan must be gram-free (the gram
+    # arrays are consumed by the signature aggregate map-side; only
+    # (id, partial mins) and (id, band_id, band_hash) may shuffle)
+    cand_plan = explain_str(minhash_lsh_candidates(docs, n=2, bands=64), "formatted")
+    blocks = re.split(r"\n(?=\(\d+\) )", cand_plan)
+    exchanges = [b for b in blocks if "Exchange" in b.splitlines()[0]]
+    assert exchanges, "no exchange found — plan shape changed"
+    for b in exchanges:
+        detail = " ".join(
+            l for l in b.splitlines() if l.startswith(("Input", "Arguments"))
+        )
+        assert "grams#" not in detail, b
     # full pipeline: gram arrays appear only in the verify joins, never
     # below a band_hash exchange
     full_plan = explain_str(minhash_lsh_pairs(docs, n=2, bands=64), "simple")
