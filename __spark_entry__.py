@@ -58,12 +58,14 @@ def _sf_grok_n(sf_dir: str) -> int:
 
 
 def _grok_seq_df(spark: SparkSession, n: int = GROK_N) -> DataFrame:
-    from grokspark.datagen import iter_rows
+    """Distributed corpus generation (each executor renders its own row
+    range — rows are pure functions of their index, so this is
+    byte-identical to the driver-side ``iter_rows`` the oracles use,
+    in any partitioning). Keeps the harness itself scale-free: the
+    sf-proportional query's corpus never materializes on the driver."""
+    from grokspark.datagen import sequences_df
 
-    return spark.createDataFrame(
-        list(iter_rows(n)),
-        schema="doc_id string, tokens array<int>, n_tok int, source string",
-    )
+    return sequences_df(spark, n)
 
 
 @functools.lru_cache(maxsize=4)
@@ -856,6 +858,189 @@ def _winnow_oracle_rows(sf_dir: str) -> dict[str, list[tuple]]:
     }
 
 
+# -- BPE tokenizer / end-to-end corpus prep ---------------------------------
+
+BPE_MERGES = 160
+CORPUS_MAX_LEN = 256
+CORPUS_BUCKETS = 8
+CORPUS_MERGES = 120
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed BPE (replaces token_count's regex piece proxy):
+    one corpus-wide word-frequency aggregate, the deterministic merge
+    loop (max count, lexicographically-smallest tie-break) over the
+    bounded word table, then Arrow-batched apply with per-batch word
+    memoization. Oracle: the identical train+apply run single-process
+    over the same parquet (VALUES — merge selection is exact-integer,
+    so the merge tables match exactly)."""
+    from grokspark.operators.bpe import (
+        apply_bpe_ids,
+        bpe_vocab,
+        train_bpe_py,
+        word_counts_df,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = {r["word"]: r["n"] for r in word_counts_df(docs).collect()}
+    merges = train_bpe_py(counts, BPE_MERGES)
+    vocab = bpe_vocab(counts, merges)
+    toks = apply_bpe_ids(docs, merges, vocab)
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("sum_tok"),
+        F.sum(
+            F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).cast("long").alias("sum_ids"),
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _bpe_oracle_rows(sf_dir: str) -> list[tuple]:
+    """Single-process BPE train+apply over the sf documents parquet."""
+    import pyarrow.parquet as pq
+
+    from grokspark.operators.bpe import (
+        bpe_vocab,
+        encode_word,
+        pretokenize,
+        train_bpe_py,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = list(
+        zip(t.column("text").to_pylist(), t.column("lang").to_pylist())
+    )
+    counts: dict[str, int] = {}
+    for text, _lang in rows:
+        for w in pretokenize(text):
+            counts[w] = counts.get(w, 0) + 1
+    merges = train_bpe_py(counts, BPE_MERGES)
+    vocab = bpe_vocab(counts, merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict[str, list[int]] = {}
+    agg: dict[str, list[int]] = {}
+    for text, lang in rows:
+        ids: list[int] = []
+        for w in pretokenize(text):
+            if w not in memo:
+                memo[w] = [vocab.get(s, 0) for s in encode_word(w, ranks)]
+            ids.extend(memo[w])
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(ids)
+        a[2] += sum(ids)
+    return sorted((lang, a[0], a[1], a[2]) for lang, a in agg.items())
+
+
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed end-to-end training-corpus job: quality filter ->
+    dedup_corpus -> hash split -> BPE tokenize (trained on the train
+    split only) -> sequence packing, each stage individually
+    oracle-green, composed into the packed table a trainer reads.
+    Oracle: the identical single-process composition
+    (grokspark.operators.corpus.prepare_corpus_py) over the same
+    parquet, as VALUES — every stage is deterministic and partition-
+    independent, so the packed rows match bit-for-bit."""
+    from grokspark.operators.corpus import prepare_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    packed = prepare_corpus(
+        docs,
+        max_len=CORPUS_MAX_LEN,
+        n_buckets=CORPUS_BUCKETS,
+        n_merges=CORPUS_MERGES,
+    )
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_truncated").cast("long").alias("n_truncated"),
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _corpus_prepare_oracle_rows(sf_dir: str) -> list[tuple]:
+    import pyarrow.parquet as pq
+
+    from grokspark.operators.corpus import prepare_corpus_py
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    rows = prepare_corpus_py(
+        docs,
+        max_len=CORPUS_MAX_LEN,
+        n_buckets=CORPUS_BUCKETS,
+        n_merges=CORPUS_MERGES,
+    )
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(r["split"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_docs"]
+        a[2] += r["n_tok"]
+        a[3] = max(a[3], r["n_tok"])
+        a[4] += r["n_truncated"]
+    return sorted((s, *a) for s, a in agg.items())
+
+
+# -- trained-centroid IVF (rows-level recall gate) --------------------------
+
+IVF_TRAINED_CELLS = 8
+IVF_TRAINED_NPROBE = 6
+IVF_TRAINED_QUERIES = 5
+IVF_TRAINED_MIN_HITS = 8
+
+_IVF_TRAINED_CACHE: dict = {}
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL-scale IVF path — MLlib k-means trained centroids —
+    gate-covered: for 5 fixed query vectors, recall@10 of the trained-
+    IVF probe search vs the exact in-Spark brute force. The oracle pins
+    the expected OUTCOME (recall@10 >= 8/10 for every query) rather
+    than recomputing k-means in SQL: trained centroids are data-
+    dependent floats, so the gate checks the property a user relies on
+    — the probe search finds the true neighbors — with enough margin
+    (nprobe=6 of 8 cells) that k-means tie jitter cannot flip it."""
+    from grokspark.operators import (
+        ann_brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cached = _IVF_TRAINED_CACHE.get(sf_dir)
+    if cached is None:
+        centroids = train_ivf_centroids(emb, IVF_TRAINED_CELLS, seed=42)
+        index = _cached_index(
+            "ivf_trained",
+            sf_dir,
+            lambda p: build_ivf_index(emb, p, centroids),
+        )
+        cached = (centroids, index)
+        _IVF_TRAINED_CACHE[sf_dir] = cached
+    centroids, index = cached
+    rows = []
+    for qid in range(IVF_TRAINED_QUERIES):
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        exact = {r[0] for r in ann_brute_force_topk(emb, qvec, k=10).collect()}
+        approx = {
+            r[0]
+            for r in ivf_topk(
+                spark, index, qvec, centroids, k=10, nprobe=IVF_TRAINED_NPROBE
+            ).collect()
+        }
+        rows.append((qid, len(exact & approx) >= IVF_TRAINED_MIN_HITS))
+    return spark.createDataFrame(rows, "query_id int, recall_ok boolean")
+
+
 @functools.lru_cache(maxsize=1)
 def _multimodal_oracle_rows() -> list[tuple]:
     """Single-process reference: fabricate the same deterministic PNGs
@@ -1044,6 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "bpe_tokenize": q_bpe_tokenize,
+        "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1530,6 +1718,35 @@ def oracle_sql() -> dict[str, str]:
                 os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
             )["pairs"],
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_shared", "BIGINT")],
+        ),
+        "bpe_tokenize": _values_sql(
+            _bpe_oracle_rows(os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)),
+            [
+                ("lang", "VARCHAR"),
+                ("n_docs", "BIGINT"),
+                ("sum_tok", "BIGINT"),
+                ("sum_ids", "BIGINT"),
+            ],
+        ),
+        "corpus_prepare": _values_sql(
+            _corpus_prepare_oracle_rows(
+                os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+            ),
+            [
+                ("split", "VARCHAR"),
+                ("n_packs", "BIGINT"),
+                ("n_docs", "BIGINT"),
+                ("sum_tok", "BIGINT"),
+                ("max_tok", "INTEGER"),
+                ("n_truncated", "BIGINT"),
+            ],
+        ),
+        # trained-centroid IVF: the oracle pins the recall OUTCOME (the
+        # data-dependent k-means floats cannot be recomputed in SQL);
+        # see q_ann_ivf_trained's docstring
+        "ann_ivf_trained": _values_sql(
+            [(i, True) for i in range(IVF_TRAINED_QUERIES)],
+            [("query_id", "INTEGER"), ("recall_ok", "BOOLEAN")],
         ),
         "multimodal_features": _values_sql(
             _multimodal_oracle_rows(), _MM_COLS

@@ -11,6 +11,13 @@ HOF lambdas make the expression form cubic), high-dim LSH bucketing
 fakes/NotImplementedError).
 """
 
+from grokspark.operators.bpe import (
+    apply_bpe,
+    apply_bpe_ids,
+    bpe_vocab,
+    train_bpe,
+)
+from grokspark.operators.corpus import prepare_corpus
 from grokspark.operators.dedup import (
     dedup_corpus,
     duplicate_clusters,
@@ -78,4 +85,9 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "pack_sequences",
+    "train_bpe",
+    "apply_bpe",
+    "apply_bpe_ids",
+    "bpe_vocab",
+    "prepare_corpus",
 ]

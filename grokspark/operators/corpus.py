@@ -1,0 +1,270 @@
+"""End-to-end training-corpus preparation — the composed job a
+pipeline actually materializes, chaining the individually-verified
+operators:
+
+    quality filter  (textops.quality_scores keep rule)
+ -> near-dup dedup  (dedup.dedup_corpus: exact collapse + MinHash-LSH
+                     + connected components; keep one rep per cluster)
+ -> hash split      (sampling.hash_split train/val/test)
+ -> BPE tokenize    (bpe.train_bpe on the TRAIN split only — the
+                     leakage-safe convention: val/test must not shape
+                     the vocab — then bpe.apply_bpe_ids corpus-wide)
+ -> sequence pack   (packing.pack_sequences per split)
+
+Output: one packed training table ``(split, bucket, pack_id, n_docs,
+n_tok, doc_ids, tokens, n_truncated)`` — a pure function of the corpus
+content (every stage is deterministic and partition-independent), so
+the whole composition is reproducible bit-for-bit by the single-process
+``prepare_corpus_py`` twin that drives the driver oracle.
+
+Scale shape: each stage keeps its own 100-TB discipline (one
+hash-aggregate collapse, narrow LSH band shuffles, driver-bounded BPE
+word table, md5-bucketed packing); the composition adds only narrow
+id-joins between stages. The kept-document set is localCheckpoint-ed
+once — dedup's decision table feeds the split, the tokenizer and the
+packer, and without the checkpoint each consumer would re-run the
+whole LSH+CC job (same rule as duplicate_clusters' edge set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grokspark.operators.bpe import (
+    apply_bpe_ids,
+    bpe_vocab,
+    encode_word,
+    pretokenize,
+    train_bpe_py,
+    word_counts_df,
+)
+from grokspark.operators.dedup import dedup_corpus
+from grokspark.operators.packing import (
+    pack_bucket_of,
+    pack_sequences,
+    pack_sequences_py,
+)
+from grokspark.operators.sampling import hash_split, split_thresholds
+from grokspark.operators.textops import STOPWORDS_EN, quality_scores
+
+__all__ = ["prepare_corpus", "prepare_corpus_py"]
+
+DEFAULT_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def prepare_corpus(
+    df: DataFrame,
+    *,
+    split_weights: Optional[dict[str, float]] = None,
+    max_len: int = 512,
+    n_buckets: int = 32,
+    n_merges: int = 200,
+    threshold: float = 0.5,
+    n: int = 2,
+    bands: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter, dedup, split, BPE-tokenize and pack a raw
+    ``(id, text)`` corpus into training rows (module doc has the full
+    contract)."""
+    weights = split_weights or DEFAULT_SPLITS
+
+    quality = quality_scores(df, text_col).filter(F.col("quality_keep") == 1)
+    decisions = dedup_corpus(
+        quality, threshold=threshold, n=n, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    kept = quality.join(
+        decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    ).select(id_col, text_col)
+    kept = hash_split(kept, weights, id_col=id_col).localCheckpoint()
+
+    train_docs = kept.filter(F.col("split") == "train")
+    counts = {
+        r["word"]: r["n"] for r in word_counts_df(train_docs, text_col).collect()
+    }
+    merges = train_bpe_py(counts, n_merges)
+    vocab = bpe_vocab(counts, merges)
+
+    tokenized = apply_bpe_ids(kept, merges, vocab, text_col, out_col="_tok")
+    packed = []
+    for label in weights:
+        packs = pack_sequences(
+            tokenized.filter(F.col("split") == label),
+            max_len=max_len,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            tokens_col="_tok",
+        )
+        packed.append(packs.withColumn("split", F.lit(label)))
+    out = packed[0]
+    for p in packed[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "split", "bucket", "pack_id", "n_docs", "n_tok",
+        "doc_ids", "tokens", "n_truncated",
+    )
+
+
+# -- single-process reference twin (drives the driver oracle) ----------------
+
+_WS = re.compile(r"\s+")
+# Java/RE2 \w is ASCII — Python's is Unicode, so pin ASCII semantics
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+
+
+def _quality_keep_py(text: str) -> bool:
+    """Mirror of textops.quality_scores' keep rule (same single
+    divisions, same comparisons)."""
+    words = _WS.split(text.strip()) if text is not None else [""]
+    n_words = len(words)
+    n_chars = len(text)
+    n_punct = n_chars - len(_PUNCT.sub("", text))
+    if n_chars == 0 or n_words == 0:
+        return False
+    punct_ratio = n_punct / n_chars
+    n_stop = sum(1 for w in words if w.lower() in _STOP)
+    stop_ratio = n_stop / n_words
+    return n_words >= 20 and punct_ratio < 0.2 and stop_ratio >= 0.03
+
+
+_STOP = set(STOPWORDS_EN)
+
+
+def _norm_fp_py(text: str) -> str:
+    return hashlib.md5(
+        _WS.sub(" ", text.strip()).lower().encode("utf-8")
+    ).hexdigest()
+
+
+def _ngrams_py(text: str, n: int) -> list[str]:
+    """Mirror of dedup.ngrams (distinct, first-seen order irrelevant —
+    used as a set)."""
+    w = _WS.split(text.strip().lower())
+    if len(w) >= n:
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    else:
+        grams = [" ".join(w)]
+    return list(dict.fromkeys(grams))
+
+
+def _dedup_keep_py(docs: list[tuple[int, str]], threshold: float, n: int) -> set:
+    """Mirror of dedup.dedup_corpus' keep set: exact collapse ->
+    exact-Jaccard pairs over representatives (the LSH output at
+    bands=64 — miss probability ~1e-8) -> connected components ->
+    min-id representative per cluster."""
+    reps: dict[str, int] = {}
+    for i, t in docs:
+        fp = _norm_fp_py(t)
+        if fp not in reps or i < reps[fp]:
+            reps[fp] = i
+    rep_ids = set(reps.values())
+    rep_docs = [(i, t) for i, t in docs if i in rep_ids]
+    grams = {i: set(_ngrams_py(t, n)) for i, t in rep_docs}
+    ids = sorted(grams)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # inverted gram index: only pairs sharing >= 1 gram can reach any
+    # positive Jaccard, so candidates come from per-gram posting lists
+    # (same trick as the inverted-index oracle SQL) instead of all pairs
+    inv: dict[str, list[int]] = {}
+    for i in ids:
+        for g in grams[i]:
+            inv.setdefault(g, []).append(i)
+    cands: set[tuple[int, int]] = set()
+    for posting in inv.values():
+        for a_pos in range(len(posting)):
+            for b_pos in range(a_pos + 1, len(posting)):
+                a, b = posting[a_pos], posting[b_pos]
+                cands.add((a, b) if a < b else (b, a))
+    for a, b in cands:
+        ga, gb = grams[a], grams[b]
+        inter = len(ga & gb)
+        if inter / (len(ga) + len(gb) - inter) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in ids if find(i) == i}
+
+
+def _split_of_py(doc_id, weights: dict[str, float]) -> str:
+    h = int(
+        hashlib.md5(f"split:{doc_id}".encode("utf-8")).hexdigest()[:12], 16
+    )
+    for label, bound in split_thresholds(weights):
+        if h < bound:
+            return label
+    raise AssertionError("unreachable: thresholds cover the hash space")
+
+
+def prepare_corpus_py(
+    docs: Iterable[tuple[int, str]],
+    *,
+    split_weights: Optional[dict[str, float]] = None,
+    max_len: int = 512,
+    n_buckets: int = 32,
+    n_merges: int = 200,
+    threshold: float = 0.5,
+    n: int = 2,
+) -> list[dict]:
+    """Single-process reference of ``prepare_corpus``: returns the
+    packed rows as dicts with the same fields (pack ordering follows
+    (split, bucket, index))."""
+    docs = [(i, t) for i, t in docs]
+    weights = split_weights or DEFAULT_SPLITS
+
+    quality = [(i, t) for i, t in docs if _quality_keep_py(t)]
+    keep_ids = _dedup_keep_py(quality, threshold, n)
+    kept = [(i, t) for i, t in quality if i in keep_ids]
+    split_of = {i: _split_of_py(i, weights) for i, _ in kept}
+
+    counts: dict[str, int] = {}
+    for i, t in kept:
+        if split_of[i] == "train":
+            for w in pretokenize(t):
+                counts[w] = counts.get(w, 0) + 1
+    merges = train_bpe_py(counts, n_merges)
+    vocab = bpe_vocab(counts, merges)
+    ranks = {p: j for j, p in enumerate(merges)}
+    memo: dict[str, list[int]] = {}
+
+    def ids_of(t: str) -> list[int]:
+        out: list[int] = []
+        for w in pretokenize(t):
+            if w not in memo:
+                memo[w] = [vocab.get(s, 0) for s in encode_word(w, ranks)]
+            out.extend(memo[w])
+        return out
+
+    rows: list[dict] = []
+    for label in weights:
+        buckets: dict[int, list] = {}
+        for i, t in kept:
+            if split_of[i] != label:
+                continue
+            buckets.setdefault(pack_bucket_of(str(i), n_buckets), []).append(
+                (str(i), ids_of(t))
+            )
+        for bucket in sorted(buckets):
+            for j, p in enumerate(pack_sequences_py(buckets[bucket], max_len)):
+                rows.append(
+                    {
+                        "split": label,
+                        "bucket": bucket,
+                        "pack_id": f"{bucket}#{j}",
+                        **p,
+                    }
+                )
+    return rows
