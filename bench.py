@@ -146,6 +146,8 @@ def run_bench(
         "token_counts",
         "text_quality",
         "ann_topk",
+        "bpe_tokenize",
+        "corpus_prepare",
     ]:
         fn = qs[name]
         queries[name] = round(time_action(lambda: fn(spark, sf_dir).collect(), 2), 3)
@@ -160,6 +162,313 @@ def run_bench(
         "cpus": cpus,
         "elapsed_parse_route_sec": round(parse_sec, 3),
     }
+
+
+def _mutated_docs(spark, sf_dir: str, factor: int):
+    """``factor`` copies of the documents table, copy c passed through
+    a rot-c letter substitution (``F.translate``): equal substrings
+    stay equal WITHIN a copy and differ ACROSS copies, so the corpus
+    grows by ``factor`` with its near-dup structure and gram-frequency
+    distribution held exactly constant — the honest input for
+    cost-curvature probes. (Naive replication multiplies the true
+    near-dup pair count by factor^2 and measures output growth;
+    per-word suffix mutation floods the CHARACTER-gram space with a
+    single common boundary gram and starves winnowing's df-cap —
+    measured: winnow_pairs output collapsed to 0.)"""
+    import string
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor == 1:
+        return docs.select("doc_id", "text")
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    parts = []
+    for c in range(factor):
+        rot_l = lower[c:] + lower[:c]
+        rot_u = upper[c:] + upper[:c]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                F.translate("text", lower + upper, rot_l + rot_u).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic isotropic-ish synthetic embedding corpus:
+    per-(id, dim) xxhash64 uniforms in [-0.5, 0.5] — fully
+    decorrelated, so sign-LSH buckets spread ~uniformly at any n.
+    (Two rejected alternatives, both measured: replicating the sf
+    embeddings with additive noise leaves copies bucket-correlated
+    and the candidate join goes quadratic; sinusoidal features
+    sin(id*13+i) trace a 1-D curve — only 20 of 1024 buckets
+    populated, max 8350 rows — which skews the probe into measuring a
+    degenerate corpus, not the operator.)"""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(1_000_000))
+            .cast("double")
+            / 1_000_000.0
+            - 0.5,
+        ).alias("embedding"),
+    )
+
+
+def run_scale_probe(sf_dir: str, cpus: int) -> None:
+    """Cost-curvature probe for the dedup/ANN guards (VERDICT r3 #2):
+    run the heavy candidate-generation ops at 1x and 10x the sf corpus
+    (structure-preserving growth, see _mutated_docs) and record per-row
+    cost curvature in BENCH/SCALE_PROBES.md. The 10x knn_join runs with
+    n_planes=None, exercising the auto-sizing path on a corpus big
+    enough that the chosen plane count actually grows."""
+    from grokspark.operators import knn_join, minhash_lsh_pairs, winnow_pairs
+    from grokspark.operators.similarity import knn_join_blocked, recommended_n_planes
+    from grokspark.session import get_spark
+
+    spark = get_spark(app_name="grokspark-scale-probe", cores=cpus, shuffle_partitions=cpus)
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+
+    def probe(name: str, factor: int, build):
+        # repartition to the core count BEFORE checkpointing: the 1x
+        # documents table is one parquet split (one partition -> the
+        # winnow Arrow kernel would run single-core at 1x but 10-wide
+        # at 10x, inverting the curve); equal width at both levels
+        # isolates per-row cost. Input synthesis excluded from timing.
+        df = build(factor).repartition(cpus).localCheckpoint()
+        n_rows = df.count()
+        best = float("inf")
+        out_rows = 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            out_rows = build_op(df).count()
+            best = min(best, time.monotonic() - t0)
+        results.setdefault(name, {})[factor] = (best, n_rows, out_rows)
+        print(f"{name} x{factor}: {best:.1f}s over {n_rows:,} rows -> {out_rows:,} out", file=sys.stderr)
+
+    for name, build_inputs, build_op in [
+        (
+            "dedup_minhash_lsh",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: minhash_lsh_pairs(df, threshold=0.5, n=2, bands=64),
+        ),
+        (
+            "winnow_pairs",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: winnow_pairs(df, min_shared=2, max_fp_df=50),
+        ),
+        (
+            "knn_join_auto",
+            lambda f: _synthetic_embeddings(spark, 5_000 * f),
+            lambda df: knn_join(df, k=5, n_planes=None, probe_hamming=1),
+        ),
+        (
+            "knn_join_blocked",
+            lambda f: _synthetic_embeddings(spark, 5_000 * f),
+            lambda df: knn_join_blocked(df, k=5, n_planes=None, probe_hamming=1),
+        ),
+    ]:
+        for factor in (1, 10):
+            probe(name, factor, build_inputs)
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    lines = [
+        "# BENCH/SCALE_PROBES — 1x vs 10x cost curvature",
+        "",
+        f"Corpus: {Path(sf_dir).name} documents grown 10x by per-copy",
+        "rot-letter substitution (equal substrings stay equal within a",
+        "copy, differ across copies — near-dup structure and gram-",
+        "frequency distribution held exactly constant, so output grows",
+        "~linearly and the probe measures OPERATOR cost curvature, not",
+        "output growth); embeddings are the deterministic synthetic",
+        f"corpus at 5k/50k rows. local[{cpus}], best-of-2,",
+        "input synthesis excluded (localCheckpoint before timing).",
+        "",
+        "curvature = t10x / (10 * t1x): 1.0 = perfectly linear; < 1 means",
+        "fixed overhead amortizes; > 1 means superlinear candidate growth",
+        "(the failure mode the occupancy guards exist to catch).",
+        "",
+        "| op | t 1x (s) | rows 1x | out 1x | t 10x (s) | rows 10x | out 10x | curvature |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, by_factor in results.items():
+        t1, r1, o1 = by_factor[1]
+        t10, r10, o10 = by_factor[10]
+        curv = t10 / (10 * t1)
+        lines.append(
+            f"| {name} | {t1:.1f} | {r1:,} | {o1:,} | {t10:.1f} | {r10:,} | {o10:,} | {curv:.2f} |"
+        )
+    n1 = results["knn_join_auto"][1][1]
+    n10 = results["knn_join_auto"][10][1]
+    target = max(64, 16 * 5)
+    lines += [
+        "",
+        f"knn auto-sizing (k-scaled target {target} rows/bucket): n_planes",
+        f"{recommended_n_planes(n1, target)} at 1x -> "
+        f"{recommended_n_planes(n10, target)} at 10x (the expected-bucket-",
+        "population invariant; asserted in tests/test_scale_guards.py).",
+        "",
+        "knn_join's verify join moves candidates x 2 x vector_width",
+        "bytes and fold-scores per row; knn_join_blocked ships each",
+        "query vector once per PROBE (not per candidate) into a",
+        "cogrouped bucket-local numpy matmul — ~100x less shuffle and",
+        "BLAS scoring, same candidate rule (result-equality asserted in",
+        "tests/test_scale_guards.py). Probe history that earned these",
+        "curves (details in git): a 1024-row occupancy target made kNN",
+        "candidates grow n x probes (6.3x curvature) -> k-scaled target;",
+        "the interpreted bucket fold re-evaluated per plan reference ->",
+        "materialized once; sinusoidal synthetic vectors collapsed onto",
+        "20 of 1024 buckets (degenerate-corpus skew, 734 s) -> isotropic",
+        "xxhash features.",
+    ]
+    (bench_dir / "SCALE_PROBES.md").write_text("\n".join(lines) + "\n")
+    print("wrote BENCH/SCALE_PROBES.md", file=sys.stderr)
+
+
+def run_streaming_soak(cpus: int, n_rows: int = 200_000, n_files: int = 20) -> None:
+    """Streaming soak characterization (VERDICT r3 #8): drive
+    stream_route_sinks and stream_first_seen over ``n_files``
+    micro-batches, then REPLAY the whole corpus, and record rows/s plus
+    the state-store's on-disk size after each pass in
+    BENCH/STREAMING.md — the bounded-state claim, measured: state
+    bytes track DISTINCT ids, so pass 2 (pure replay) must not grow
+    the store."""
+    import shutil
+    import tempfile
+
+    from grokspark.session import get_spark
+    from grokspark.streaming import (
+        read_sequence_stream,
+        stream_first_seen,
+        stream_route_sinks,
+    )
+
+    spark = get_spark(app_name="grokspark-stream-soak", cores=cpus, shuffle_partitions=cpus)
+    work = Path(tempfile.mkdtemp(prefix="grokspark_soak_"))
+    try:
+        from grokspark.datagen import sequences_df
+
+        in_dir = work / "input"
+        per_file = n_rows // n_files
+        for f in range(n_files):
+            # disjoint index ranges -> disjoint doc_ids per file
+            sequences_df(
+                spark, per_file, partitions=cpus, start=f * per_file
+            ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+        def du(path: Path) -> int:
+            return sum(
+                p.stat().st_size for p in path.rglob("*") if p.is_file()
+            )
+
+        md = [
+            "# BENCH/STREAMING — soak characterization",
+            "",
+            f"{n_rows:,} rows in {n_files} files, maxFilesPerTrigger=1 ->",
+            f"~{n_files} micro-batches per pass; local[{cpus}]. Pass 2",
+            "replays the identical corpus through the same checkpoint.",
+            "",
+            "rows/s here is micro-batch-overhead-dominated by design (one",
+            "file per trigger) and this box has multi-minute external noise",
+            "windows (up to 5x run-to-run — see BENCH/BASELINE.md); treat",
+            "throughput as indicative. The STATE metrics are the store's own",
+            "exact counters and are noise-free — they are the soak's claim.",
+            "",
+        ]
+
+        # -- stream_route_sinks throughput --------------------------------
+        sink_out, sink_ckpt = work / "sinks_out", work / "sinks_ckpt"
+        t0 = time.monotonic()
+        q = stream_route_sinks(
+            read_sequence_stream(spark, str(in_dir), max_files_per_trigger=1),
+            str(sink_out),
+            str(sink_ckpt),
+        )
+        q.awaitTermination()
+        sink_sec = time.monotonic() - t0
+        n_written = spark.read.parquet(str(sink_out / "sinks")).count()
+        md += [
+            "## stream_route_sinks (parse -> enrich -> fan-out, idempotent per-batch publish)",
+            "",
+            f"- pass 1: {sink_sec:.1f}s for {n_rows:,} rows -> "
+            f"**{n_rows / sink_sec:,.0f} rows/s** ({n_written:,} routed rows written)",
+            "",
+        ]
+
+        # -- stream_first_seen state growth -------------------------------
+        fs_in = work / "fs_input"
+        shutil.copytree(in_dir, fs_in)
+        fs_ckpt = work / "fs_ckpt"
+
+        def run_pass() -> tuple[float, dict]:
+            """One availableNow pass; returns (sec, state-operator
+            metrics of the LAST batch — numRowsTotal is the live
+            group-state rowcount, stateOnCurrentVersionSizeBytes the
+            live store size; on-disk du would also count retained old
+            versions and mis-measure 'growth')."""
+            t0 = time.monotonic()
+            q = (
+                stream_first_seen(
+                    read_sequence_stream(spark, str(fs_in), max_files_per_trigger=1)
+                )
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(fs_ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            ops = (q.lastProgress or {}).get("stateOperators") or [{}]
+            return time.monotonic() - t0, ops[0]
+
+        p1, m1 = run_pass()
+        # replay: copy the same files in under new names -> every row is
+        # a duplicate; live state must not grow
+        for p in sorted(in_dir.glob("*.parquet")):
+            shutil.copy(p, fs_in / f"replay-{p.name}")
+        p2, m2 = run_pass()
+        rows1 = m1.get("numRowsTotal", -1)
+        rows2 = m2.get("numRowsTotal", -1)
+        sz1 = m1.get("stateOnCurrentVersionSizeBytes") or m1.get("memoryUsedBytes", 0)
+        sz2 = m2.get("stateOnCurrentVersionSizeBytes") or m2.get("memoryUsedBytes", 0)
+        disk = du(fs_ckpt / "state")
+        md += [
+            "## stream_first_seen (bounded stateful dedup, 8-byte digests over hash buckets)",
+            "",
+            f"- pass 1 (all-new ids): {p1:.1f}s -> {n_rows / p1:,.0f} rows/s;"
+            f" live state {rows1} group rows, {sz1 / 1e6:.1f} MB"
+            f" ({sz1 / n_rows:.1f} B per distinct id incl. store overhead)",
+            f"- pass 2 (100% replay of all {n_rows:,} rows): {p2:.1f}s ->"
+            f" {n_rows / p2:,.0f} rows/s; live state {rows2} group rows,"
+            f" {sz2 / 1e6:.1f} MB (growth {100 * (sz2 - sz1) / max(sz1, 1):.1f}%)",
+            f"- checkpoint dir on disk: {disk / 1e6:.1f} MB (includes retained",
+            "  old state versions pending maintenance cleanup — version",
+            "  bookkeeping, not live state; the metrics rows above are the",
+            "  store's own live-size counters)",
+            "",
+            "Live state is a function of DISTINCT ids, not batches: the full",
+            "replay adds zero group rows and zero live bytes. Per-id cost is",
+            "8 bytes of digest + store overhead; raise FIRST_SEEN_BUCKETS",
+            "with corpus size to bound per-group state (streaming.py doc).",
+        ]
+        if rows1 != rows2:
+            raise AssertionError(
+                f"replay grew state rows {rows1} -> {rows2} — bounded-state "
+                f"contract broken"
+            )
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "STREAMING.md").write_text("\n".join(md) + "\n")
+        print("wrote BENCH/STREAMING.md", file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def run_scaling(sf_dir: str, n_seq: int | None) -> None:
@@ -267,6 +576,8 @@ def main() -> None:
     ap.add_argument("--json-only", action="store_true", help="suppress everything but the JSON line")
     ap.add_argument("--n", type=int, default=None, help="sequences-table rows override")
     ap.add_argument("--parse-only", action="store_true", help="headline parse job only (used by --scaling)")
+    ap.add_argument("--scale-probe", action="store_true", help="1x vs 10x cost-curvature probe -> BENCH/SCALE_PROBES.md")
+    ap.add_argument("--streaming-soak", action="store_true", help="streaming rows/s + state-store soak -> BENCH/STREAMING.md")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -274,6 +585,12 @@ def main() -> None:
 
     if args.scaling:
         run_scaling(sf_dir, args.n)
+        return
+    if args.scale_probe:
+        run_scale_probe(sf_dir, cpus)
+        return
+    if args.streaming_soak:
+        run_streaming_soak(cpus)
         return
 
     result = run_bench(sf_dir, cpus, args.n, parse_only=args.parse_only)

@@ -105,6 +105,28 @@ def scenarios() -> dict[str, float]:
     out["simhash_scalar_per_doc"] = bench(scalar_all) / len(docs)
     out["simhash_batch_per_doc"] = bench(lambda: simhash_batch(docs)) / len(docs)
 
+    # peak transient memory of the batch kernel per word (numpy
+    # allocations are tracemalloc-tracked). Measured composition on
+    # these docs: the uint8 unpackbits bit matrix is 64 B/word; the
+    # rest is the per-word bytes objects + the FNV flat buffer's
+    # uint64 conversion — ~640 B/word total. The int64 bit-matrix
+    # formulation this replaced peaked ~1080 B/word (512 B matrix plus
+    # its transient uint64 broadcast); the bound guards that
+    # regression class.
+    import tracemalloc
+
+    n_words = sum(len(d.split()) for d in docs)
+    tracemalloc.start()
+    simhash_batch(docs)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    per_word = peak / n_words
+    out["simhash_batch_peak_bytes_per_word"] = per_word
+    assert per_word < 800, (
+        f"simhash_batch peak {per_word:.0f} B/word — bit-matrix memory "
+        f"regression (uint8 formulation measures ~640 on this corpus)"
+    )
+
     return out
 
 

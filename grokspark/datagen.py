@@ -245,10 +245,11 @@ SEQUENCES_SCHEMA = (
 )
 
 
-def sequences_df(spark, n: int, partitions: Optional[int] = None):
+def sequences_df(spark, n: int, partitions: Optional[int] = None, start: int = 0):
     """Generate the sequences table distributed: every executor renders
     its own row range (row = pure function of index, no shuffle, no
-    driver materialization)."""
+    driver materialization). ``start`` offsets the index range —
+    disjoint ranges yield disjoint doc_ids (streaming-soak batches)."""
     import pandas as pd  # local import: keep module importable without pandas
 
     num_parts = partitions or spark.sparkContext.defaultParallelism
@@ -259,7 +260,7 @@ def sequences_df(spark, n: int, partitions: Optional[int] = None):
             yield pd.DataFrame(rows)
 
     return (
-        spark.range(0, n, numPartitions=num_parts)
+        spark.range(start, start + n, numPartitions=num_parts)
         .mapInPandas(gen, schema=SEQUENCES_SCHEMA)
     )
 

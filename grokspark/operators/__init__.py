@@ -43,6 +43,7 @@ from grokspark.operators.similarity import (
     build_lsh_index,
     embedding_lsh_pairs,
     knn_join,
+    knn_join_blocked,
     lsh_bucketed_topk,
     lsh_index_topk,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "duplicate_clusters",
     "exact_dedup",
     "knn_join",
+    "knn_join_blocked",
     "jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",

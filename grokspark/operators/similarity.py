@@ -37,6 +37,7 @@ __all__ = [
     "lsh_index_topk",
     "lsh_bucketed_topk",
     "knn_join",
+    "knn_join_blocked",
     "embedding_lsh_pairs",
 ]
 
@@ -59,6 +60,34 @@ def recommended_n_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
     if n_rows <= target_bucket_rows:
         return 1
     return max(1, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
+def _resolve_n_planes(
+    df: DataFrame,
+    n_planes: Optional[int],
+    op: str,
+    target_bucket_rows: int = 1024,
+) -> int:
+    """Auto-size ``n_planes=None`` from the corpus rowcount (one
+    count(); the chosen value keeps expected bucket population near
+    ``target_bucket_rows``, re-checked through the occupancy guard so
+    a future target/guard mismatch warns loudly). An explicit value is
+    trusted as-is — no extra scan at 10^12 rows — which is why the
+    guard cannot fire for it; callers own that check.
+
+    The target matters: candidate volume is ``n_rows x probes x
+    bucket_rows``, and the hamming-probe count grows with n_planes
+    (so with log n under auto-sizing) — a target sized for near-dup
+    recall (1024) makes corpus-wide kNN superlinear (measured 6.3x
+    per-row cost at 10x corpus, BENCH/SCALE_PROBES.md). Top-k search
+    needs only a few x k candidates per probe, so ``knn_join`` passes
+    a k-scaled target."""
+    if n_planes is not None:
+        return n_planes
+    n_rows = df.count()
+    chosen = recommended_n_planes(n_rows, target_bucket_rows)
+    _warn_if_buckets_overfull(n_rows, chosen, op)
+    return chosen
 
 
 def _warn_if_buckets_overfull(n_rows: int, n_planes: int, op: str) -> None:
@@ -322,12 +351,17 @@ def knn_join(
     from the corpus rowcount (costs one count() of the id column —
     noise next to the join); an explicit value is trusted as-is, no
     extra scan — check it against ``recommended_n_planes`` yourself."""
-    if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
+    n_planes = _resolve_n_planes(
+        df, n_planes, "knn_join", target_bucket_rows=max(64, 16 * k)
+    )
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
-    bucketed = _bucketed_vectors(df, vec_col, id_col, planes)
+    # the bucketed table is referenced FOUR times below (both sides of
+    # the candidate join, both vector rejoins); the per-row bucket fold
+    # is n_planes x dim interpreted lambda evals, so materialize it
+    # once (measured: the recompute dominated the 10x scale probe)
+    bucketed = _bucketed_vectors(df, vec_col, id_col, planes).localCheckpoint()
     cand = _bucket_candidate_pairs(
         bucketed, _probe_masks(n_planes, probe_hamming), ordered=False
     )
@@ -337,6 +371,116 @@ def knn_join(
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("nid").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: Optional[int] = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-wide kNN with BUCKET-LOCAL BLOCKED SCORING — the
+    100-TB-shaped twin of ``knn_join``.
+
+    ``knn_join``'s verify stage joins BOTH embedding vectors onto every
+    candidate pair, so shuffle volume is ``candidates x 2 x
+    vector_width`` and scoring is an interpreted per-row fold — at 50k
+    x 64-dim that is ~27 GB through the join and the stage spills
+    (measured 6x superlinear per-row cost at 10x corpus,
+    BENCH/SCALE_PROBES.md). Here the data moves bucket-wise instead:
+
+    - each QUERY vector ships once per probe (``probes x width`` per
+      query, not per candidate — ~100x less bytes at the probe's
+      occupancy), via a cogroup on (probe bucket == member bucket);
+    - each MEMBER vector ships exactly once;
+    - scoring inside the cogrouped kernel is one numpy normalized
+      matmul per bucket (C speed, Arrow-batched), emitting only each
+      query's bucket-local top-k;
+    - the global top-k window then sees <= probes x k rows per query.
+
+    Each (query, member) pair lands in exactly one group — the member's
+    bucket, probed by exactly one XOR mask — so no dedup pass is
+    needed. Same candidate rule and same results as ``knn_join`` up to
+    floating-point tie-breaks: blocked matmul sums in a different
+    order than the sequential fold, so scores can differ in the last
+    ulp; the driver-oracle query stays on the fold path for that
+    reason (same policy as ``_lsh_bucket_udf``)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = _resolve_n_planes(
+        df, n_planes, "knn_join_blocked", target_bucket_rows=max(64, 16 * k)
+    )
+    planes = hyperplanes(
+        df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
+    )
+    # bucket via the numpy matrix UDF regardless of literal count: this
+    # path makes no fold-parity promise (scores are blocked matmuls
+    # anyway), and the interpreted per-row fold costs n_planes x dim
+    # lambda evals; materialized once for the two references below
+    bucketed = _bucketed_vectors(
+        df, vec_col, id_col, planes, via_udf=True
+    ).localCheckpoint()
+    masks = _probe_masks(n_planes, probe_hamming)
+    probes = (
+        bucketed.withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            F.col("id").alias("qid"),
+            F.col("vec").alias("qv"),
+            F.col("_bucket").bitwiseXOR(F.col("_mask")).alias("_probe"),
+        )
+    )
+    members = bucketed.select(
+        F.col("id").alias("nid"), F.col("vec").alias("nv"), "_bucket"
+    )
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"qid": [], "nid": [], "score": []})
+        # cells arrive as per-row numpy arrays (Arrow list<double>);
+        # np.stack copies them C-side — `np.array(col.tolist())` would
+        # round-trip every float through a Python object (measured: it
+        # dominated the whole stage at 550k x 64-dim probe rows)
+        q = np.stack(lpdf["qv"].to_numpy()).astype(np.float64, copy=False)
+        m = np.stack(rpdf["nv"].to_numpy()).astype(np.float64, copy=False)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ mn.T  # nq x nm
+        qids = lpdf["qid"].to_numpy()
+        nids = rpdf["nid"].to_numpy()
+        # self-pairs (a query probing its own bucket) are dropped here
+        sims[qids[:, None] == nids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = nids[top.ravel()]
+        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = rows_s > -np.inf
+        return pd.DataFrame(
+            {"qid": rows_q[keep], "nid": rows_n[keep], "score": rows_s[keep]}
+        )
+
+    scored = (
+        probes.groupBy("_probe")
+        .cogroup(members.groupBy("_bucket"))
+        .applyInPandas(score, "qid long, nid long, score double")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -369,8 +513,7 @@ def embedding_lsh_pairs(
     recomputable (the driver oracle mirrors it in SQL). ``n_planes``
     sizing follows the same rule as ``knn_join`` (None = auto via one
     count(); explicit values are trusted without an extra scan)."""
-    if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
+    n_planes = _resolve_n_planes(df, n_planes, "embedding_lsh_pairs")
     planes = hyperplanes(
         df.select(F.size(F.col(vec_col))).head()[0], n_planes, seed
     )
