@@ -617,6 +617,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-shaped kNN path: same candidate rule as knn_join but
+    scored inside a cogrouped bucket-local numpy matmul (each query
+    vector ships once per probe, not per candidate — ~100x less
+    shuffle; see operators/similarity.py). Shares knn_join's SQL
+    oracle: the candidate sets are identical (bucket sign margins on
+    this corpus are ~1e-3, far above matmul-vs-fold summation ulps)
+    and rank margins survive engine FP differences (test-asserted in
+    tests/test_operators.py::test_knn_rank_margins...)."""
+    from grokspark.operators import knn_join_blocked
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_join_blocked(
+        emb, k=3, n_planes=8, probe_hamming=1, seed=42
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the deterministic corpus: banded
     candidates (pigeonhole-complete for hamming<=bands-1) + exact
@@ -1224,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
+        "knn_join_blocked": q_knn_join_blocked,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
@@ -1439,7 +1461,7 @@ _DEDUP_CORPUS_SQL = f"""
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     import os
 
     g = _grok_oracle_rows()
@@ -1754,3 +1776,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _values_sql(_resize_oracle_rows(), _MM_COLS),
         "video_frame_features": _values_sql(_video_oracle_rows(), _MM_COLS),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # blocked kNN shares knn_join's oracle: identical candidate rule
+    # and ranking (see q_knn_join_blocked's docstring for the FP-margin
+    # argument)
+    out["knn_join_blocked"] = out["knn_join"]
+    return out
