@@ -391,6 +391,7 @@ def knn_join_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    salt_members: int = 1,
 ) -> DataFrame:
     """Corpus-wide kNN with BUCKET-LOCAL BLOCKED SCORING — the
     100-TB-shaped twin of ``knn_join``.
@@ -417,7 +418,20 @@ def knn_join_blocked(
     floating-point tie-breaks: blocked matmul sums in a different
     order than the sequential fold, so scores can differ in the last
     ulp; the driver-oracle query stays on the fold path for that
-    reason (same policy as ``_lsh_bucket_udf``)."""
+    reason (same policy as ``_lsh_bucket_udf``).
+
+    ``salt_members`` is the skew control: real embedding distributions
+    can pile into few buckets (measured: a degenerate corpus put all
+    50k vectors into 20 of 1024 buckets and one straggler task carried
+    the stage). Salting splits each bucket's MEMBERS into S slices
+    (hash of the member id) and replicates the probe side xS; each
+    pair still lands in exactly one (bucket, slice) group, per-slice
+    top-k stays correct because top-k merges (the global window sees
+    every slice's winners). Neighbor sets and ranks are IDENTICAL for
+    any S (ties break on nid via the stable sort below); scores can
+    move by a BLAS-blocking ulp since the matmul shape changes. Cost:
+    probe-side shuffle xS; use a few slices when bucket histograms are
+    known-skewed."""
     import numpy as np
     import pandas as pd
 
@@ -446,10 +460,29 @@ def knn_join_blocked(
     members = bucketed.select(
         F.col("id").alias("nid"), F.col("vec").alias("nv"), "_bucket"
     )
+    if salt_members > 1:
+        members = members.withColumn(
+            "_salt", F.pmod(F.xxhash64("nid"), F.lit(salt_members)).cast("int")
+        )
+        probes = probes.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(s) for s in range(salt_members)])),
+        )
+        group_l, group_r = ["_probe", "_salt"], ["_bucket", "_salt"]
+    else:
+        group_l, group_r = ["_probe"], ["_bucket"]
 
     def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame({"qid": [], "nid": [], "score": []})
+        # members sorted by nid so the STABLE score argsort below
+        # inherits nid-ascending tie-break — the same (score desc, nid
+        # asc) order the global window uses; an order-oblivious
+        # argpartition would keep an arbitrary member of a score tie
+        # and make results depend on group slicing (caught by the
+        # salting-invariance test: the testdata corpus has duplicate
+        # embeddings, i.e. exact ties)
+        rpdf = rpdf.sort_values("nid")
         # cells arrive as per-row numpy arrays (Arrow list<double>);
         # np.stack copies them C-side — `np.array(col.tolist())` would
         # round-trip every float through a Python object (measured: it
@@ -464,7 +497,7 @@ def knn_join_blocked(
         # self-pairs (a query probing its own bucket) are dropped here
         sims[qids[:, None] == nids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         rows_q = np.repeat(qids, kk)
         rows_n = nids[top.ravel()]
         rows_s = np.take_along_axis(sims, top, axis=1).ravel()
@@ -474,8 +507,8 @@ def knn_join_blocked(
         )
 
     scored = (
-        probes.groupBy("_probe")
-        .cogroup(members.groupBy("_bucket"))
+        probes.groupBy(*group_l)
+        .cogroup(members.groupBy(*group_r))
         .applyInPandas(score, "qid long, nid long, score double")
     )
     from pyspark.sql.window import Window

@@ -93,6 +93,47 @@ def test_apply_bpe_ids_unknown_maps_to_unk(spark, texts_df):
     assert all(i > 0 for i in got[0])
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _WORD = st.text(
+        st.characters(codec="utf-8", exclude_categories=("Zs", "Cc", "Cs")),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(st.lists(st.tuples(_WORD, st.integers(1, 5)), min_size=1, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_bpe_properties(word_weight_pairs):
+        """(1) merges are invariant under word-dict insertion order;
+        (2) encode_word losslessly reconstructs the word (concat of
+        pieces == word + </w> marker); (3) every emitted piece is in
+        the trained vocab."""
+        from grokspark.operators.bpe import (
+            EOW,
+            bpe_vocab,
+            encode_word,
+            train_bpe_py,
+        )
+
+        counts: dict[str, int] = {}
+        for w, c in word_weight_pairs:
+            counts[w] = counts.get(w, 0) + c
+        merges = train_bpe_py(counts, 30)
+        rev = dict(reversed(list(counts.items())))
+        assert train_bpe_py(rev, 30) == merges
+        ranks = {p: i for i, p in enumerate(merges)}
+        vocab = bpe_vocab(counts, merges)
+        for w in counts:
+            pieces = encode_word(w, ranks)
+            assert "".join(pieces) == w + EOW
+            assert all(p in vocab for p in pieces)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
+
+
 def test_prepare_corpus_matches_reference_twin(spark, sf_dir):
     """Full-row equality (not just aggregates) of the composed
     quality->dedup->split->BPE->pack job vs the single-process twin at
