@@ -199,6 +199,36 @@ def _mutated_docs(spark, sf_dir: str, factor: int):
     return out
 
 
+def _mutated_docs_keep_quality(spark, sf_dir: str, factor: int):
+    """Growth variant for the COMPOSED corpus job (prepare_corpus):
+    words of >= 4 chars get a per-copy letter suffix; stopwords and
+    short function words stay untouched, so the quality filter's
+    stopword/punct/word-count features are preserved (the rot-letter
+    mutation destroys every English stopword and the filter correctly
+    rejects all mutated copies — measured: 10x input produced 1x
+    packs), while long-word bigrams decorrelate copies enough that
+    cross-copy Jaccard stays below the dedup threshold."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor == 1:
+        return docs.select("doc_id", "text")
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    parts = [
+        docs.select(
+            (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+            F.regexp_replace(
+                "text", r"([A-Za-z0-9]{4,})", f"$1q{letters[c % 26]}"
+            ).alias("text"),
+        )
+        for c in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _synthetic_embeddings(spark, n: int, dim: int = 64):
     """Deterministic isotropic-ish synthetic embedding corpus:
     per-(id, dim) xxhash64 uniforms in [-0.5, 0.5] — fully
@@ -230,7 +260,12 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
     cost curvature in BENCH/SCALE_PROBES.md. The 10x knn_join runs with
     n_planes=None, exercising the auto-sizing path on a corpus big
     enough that the chosen plane count actually grows."""
-    from grokspark.operators import knn_join, minhash_lsh_pairs, winnow_pairs
+    from grokspark.operators import (
+        knn_join,
+        minhash_lsh_pairs,
+        prepare_corpus,
+        winnow_pairs,
+    )
     from grokspark.operators.similarity import knn_join_blocked, recommended_n_planes
     from grokspark.session import get_spark
 
@@ -275,6 +310,11 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
             lambda f: _synthetic_embeddings(spark, 5_000 * f),
             lambda df: knn_join_blocked(df, k=5, n_planes=None, probe_hamming=1),
         ),
+        (
+            "corpus_prepare",
+            lambda f: _mutated_docs_keep_quality(spark, sf_dir, f),
+            lambda df: prepare_corpus(df, max_len=256, n_buckets=32, n_merges=120),
+        ),
     ]:
         for factor in (1, 10):
             probe(name, factor, build_inputs)
@@ -316,6 +356,14 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
         f"{recommended_n_planes(n1, target)} at 1x -> "
         f"{recommended_n_planes(n10, target)} at 10x (the expected-bucket-",
         "population invariant; asserted in tests/test_scale_guards.py).",
+        "",
+        "corpus_prepare grows via the quality-preserving variant",
+        "(_mutated_docs_keep_quality: >=4-char words get per-copy letter",
+        "suffixes, stopwords untouched — the rot corpus has no English",
+        "stopwords so the quality filter correctly rejects every mutated",
+        "copy). Its 10x output exceeds 10x packs because the BPE vocab",
+        "spreads over the suffixed word variants (more pieces/doc) — the",
+        "composition is behaving, not leaking.",
         "",
         "knn_join's verify join moves candidates x 2 x vector_width",
         "bytes and fold-scores per row; knn_join_blocked ships each",
