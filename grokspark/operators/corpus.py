@@ -121,8 +121,10 @@ _PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 def _quality_keep_py(text: str) -> bool:
     """Mirror of textops.quality_scores' keep rule (same single
-    divisions, same comparisons)."""
-    words = _WS.split(text.strip()) if text is not None else [""]
+    divisions, same comparisons). NULL/empty text mirrors the Spark
+    side's outcome: NaN ratios compare false -> not kept."""
+    text = text or ""
+    words = _WS.split(text.strip())
     n_words = len(words)
     n_chars = len(text)
     n_punct = n_chars - len(_PUNCT.sub("", text))
