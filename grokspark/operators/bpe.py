@@ -60,8 +60,12 @@ EOW = "</w>"
 
 # identical classes to token_count's n_pieces proxy (textops.py) — the
 # Spark word-count stage uses the regexp_replace+split form of the same
-# rule, whose cross-engine parity the token_counts oracle already pins
-_PIECE_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+# rule, whose cross-engine parity the token_counts oracle already pins.
+# re.ASCII pins \s to Java regex semantics: without it U+00A0/U+0085/
+# U+2028 etc. are whitespace to Python but pieces to the JVM stage, and
+# training (JVM counts) vs application (Python pretokenize) would
+# disagree on non-ASCII-whitespace documents.
+_PIECE_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", re.ASCII)
 
 
 def pretokenize(text: Optional[str]) -> list[str]:
@@ -141,12 +145,12 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 def apply_bpe_py(
     text: Optional[str],
     merges: list[tuple[str, str]],
-    _memo: Optional[dict] = None,
 ) -> list[str]:
     """BPE piece sequence of one document (reference twin of
-    ``apply_bpe``)."""
+    ``apply_bpe``). The word memo is per-call: cached encodings depend
+    on the merge table, so it must never outlive one merges argument."""
     ranks = {p: i for i, p in enumerate(merges)}
-    memo = _memo if _memo is not None else {}
+    memo: dict[str, list[str]] = {}
     out: list[str] = []
     for w in pretokenize(text):
         if w not in memo:

@@ -114,8 +114,9 @@ def prepare_corpus(
 
 # -- single-process reference twin (drives the driver oracle) ----------------
 
-_WS = re.compile(r"\s+")
-# Java/RE2 \w is ASCII — Python's is Unicode, so pin ASCII semantics
+# Java \s and \w are ASCII — Python's are Unicode, so pin ASCII
+# semantics in both twins (U+00A0 etc. must NOT count as whitespace)
+_WS = re.compile(r"\s+", re.ASCII)
 _PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 

@@ -39,10 +39,56 @@ __all__ = [
     "stream_first_seen",
     "first_seen_filter",
     "stream_route_sinks",
+    "recover_batch_publish",
+    "publish_batch",
 ]
 
 SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 EVENT_T0 = "2024-01-01 00:00:00"
+
+
+def recover_batch_publish(staging: str, final: str, tombstone: str) -> None:
+    """Replay-time cleanup for ``publish_batch``'s rename discipline.
+
+    Any leftover staging dir is garbage from a crashed write — drop it.
+    A leftover tombstone means the last publish crashed mid-swap: if
+    ``final`` exists too, the crash was after the fresh rename and the
+    tombstone is a stale copy (drop it); if ``final`` is MISSING, the
+    crash landed between ``replace(final, tombstone)`` and
+    ``replace(staging, final)`` and the tombstone is the ONLY surviving
+    copy of the published batch — restore it so concurrent readers keep
+    seeing old data for the whole recompute window.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(tombstone):
+        if not os.path.exists(final):
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.replace(tombstone, final)
+        else:
+            shutil.rmtree(tombstone)
+
+
+def publish_batch(staging: str, final: str, tombstone: str) -> None:
+    """Atomic-visibility publish of a fully-written ``staging`` dir:
+    move any current ``final`` ASIDE (to the tombstone path, outside
+    the readers' sink root), rename staging into place, then drop the
+    tombstone. A concurrent reader of ``final``'s parent sees old data
+    or new data, never a missing or partially-written batch dir; a
+    crash at any point is repaired by ``recover_batch_publish``."""
+    import os
+    import shutil
+
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    if os.path.exists(final):
+        os.makedirs(os.path.dirname(tombstone), exist_ok=True)
+        os.replace(final, tombstone)
+    os.replace(staging, final)
+    if os.path.exists(tombstone):
+        shutil.rmtree(tombstone)
 
 
 def read_sequence_stream(
@@ -186,22 +232,13 @@ def stream_route_sinks(
         staging = f"{out_dir}/_staging/batch_id={batch_id}"
         final = f"{out_dir}/sinks/batch_id={batch_id}"
         tombstone = f"{out_dir}/_tombstone/batch_id={batch_id}"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        if os.path.exists(tombstone):  # crashed mid-publish last time
-            shutil.rmtree(tombstone)
+        recover_batch_publish(staging, final, tombstone)
         (
             parsed.write.mode("overwrite")
             .partitionBy("route", "pattern_name")
             .parquet(staging)
         )
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        if os.path.exists(final):
-            os.makedirs(os.path.dirname(tombstone), exist_ok=True)
-            os.replace(final, tombstone)
-        os.replace(staging, final)
-        if os.path.exists(tombstone):
-            shutil.rmtree(tombstone)
+        publish_batch(staging, final, tombstone)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -27,6 +27,10 @@ TEXTS = [
     "   ",
     "punct... only!!! ###",
     "Ünïcode wörds ärê fun ünïcode",
+    # non-ASCII whitespace (NBSP, NEL, LINE SEPARATOR): Java \s is ASCII,
+    # so these are PIECES on the JVM side — the Python twin must agree
+    # (re.ASCII on _PIECE_RE), else training and application disagree
+    "nbsp\u00a0split nel\u0085split ls\u2028split",
 ]
 
 

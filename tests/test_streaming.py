@@ -346,3 +346,68 @@ def test_stream_sessionize_native_session_windows(spark, tmp_path):
         ("elb", "00:00:10", "00:02:40"): 2,
     }
     assert got == expected, got
+
+
+# -- publish rename-discipline crash windows (pure filesystem) ---------------
+
+
+def _mkbatch(path, payload):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part-0.parquet", "w") as f:
+        f.write(payload)
+
+
+def _read(path):
+    with open(f"{path}/part-0.parquet") as f:
+        return f.read()
+
+
+def test_publish_recovery_every_crash_window(tmp_path):
+    """Simulate each possible crash point of publish_batch and assert
+    recover_batch_publish leaves readers with a complete batch dir:
+    the OLD data until a fresh staged write republishes, never a
+    missing/partial dir — including the window where the tombstone is
+    the only surviving copy (ADVICE r4)."""
+    import os
+
+    from grokspark.streaming import publish_batch, recover_batch_publish
+
+    root = str(tmp_path)
+    staging = f"{root}/_staging/batch_id=0"
+    final = f"{root}/sinks/batch_id=0"
+    tombstone = f"{root}/_tombstone/batch_id=0"
+
+    # clean first publish
+    _mkbatch(staging, "v1")
+    publish_batch(staging, final, tombstone)
+    assert _read(final) == "v1" and not os.path.exists(tombstone)
+
+    # window A: crash after staging written, before any rename
+    _mkbatch(staging, "v2-partial")
+    recover_batch_publish(staging, final, tombstone)
+    assert _read(final) == "v1" and not os.path.exists(staging)
+
+    # window B: crash between replace(final, tombstone) and
+    # replace(staging, final) — final MISSING, tombstone holds the only
+    # copy. Recovery must restore it, not delete it.
+    _mkbatch(staging, "v2")
+    os.makedirs(os.path.dirname(tombstone), exist_ok=True)
+    os.replace(final, tombstone)
+    assert not os.path.exists(final)
+    recover_batch_publish(staging, final, tombstone)
+    assert _read(final) == "v1", "tombstone-only window lost the batch"
+    assert not os.path.exists(tombstone) and not os.path.exists(staging)
+
+    # window C: crash after replace(staging, final), before tombstone rm
+    _mkbatch(staging, "v2")
+    os.replace(final, tombstone)
+    os.replace(staging, final)
+    recover_batch_publish(f"{root}/_staging/batch_id=0", final, tombstone)
+    assert _read(final) == "v2" and not os.path.exists(tombstone)
+
+    # full replay after recovery still swaps cleanly
+    _mkbatch(staging, "v3")
+    publish_batch(staging, final, tombstone)
+    assert _read(final) == "v3" and not os.path.exists(tombstone)
