@@ -59,6 +59,42 @@ def time_action(fn, repeats: int = 2) -> float:
     return best
 
 
+def time_once(fn) -> float:
+    """One wall-time sample of one Spark action."""
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
+def round_robin_best(items: list[tuple[str, object, int]]) -> dict[str, float]:
+    """Best-of-N with the attempts INTERLEAVED across the query list:
+    run every query once (round 1), then every query again (round 2),
+    ... Each query keeps its minimum across rounds.
+
+    Rationale (CLAUDE.md bench discipline, VERDICT r4 finding #1): this
+    box has multi-minute external noise windows. Consecutive best-of-2
+    puts both attempts of a query INSIDE one window — r4's official
+    artifact recorded 6.04 s for a query whose clean reading is 1.22 s.
+    Interleaving puts a full list-length gap (~minutes) between a
+    query's attempts, so one noise window can poison at most one of
+    them.
+
+    ``items``: (name, zero-arg callable returning elapsed seconds,
+    n_rounds). A query with n_rounds < max rounds sits out the extra
+    rounds (used to give the headline one more sample than the rest).
+    """
+    best: dict[str, float] = {}
+    max_rounds = max(r for _, _, r in items)
+    for rnd in range(max_rounds):
+        for name, sample, rounds in items:
+            if rnd >= rounds:
+                continue
+            sec = sample()
+            prev = best.get(name, float("inf"))
+            best[name] = min(prev, sec)
+    return best
+
+
 def run_bench(
     sf_dir: str, cpus: int, n_seq: int | None, parse_only: bool = False
 ) -> dict:
@@ -78,14 +114,12 @@ def run_bench(
     def parse_route():
         route_match_counts(spark, spark.read.parquet(seq_path)).collect()
 
-    parse_sec = time_action(parse_route, repeats=3)
-    queries["parse_route"] = round(parse_sec, 3)
-    throughput = n / parse_sec
-
     if parse_only:
+        parse_sec = time_action(parse_route, repeats=3)
+        queries["parse_route"] = round(parse_sec, 3)
         return {
             "metric": "parse_route_throughput",
-            "value": round(throughput, 1),
+            "value": round(n / parse_sec, 1),
             "unit": "seq/sec",
             "queries": queries,
             "sf": sf_name,
@@ -105,52 +139,80 @@ def run_bench(
     n_pipe = min(n, 200_000)
     pipe_path = ensure_input(spark, n_pipe)
 
-    def run_pipe(**cfg_kwargs) -> float:
-        """Fresh sink dir per attempt; best-of-2 (write-heavy legs are
-        the noisiest on this box)."""
-        best = float("inf")
-        for _ in range(2):
-            sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_")
-            try:
-                t0 = time.monotonic()
-                GrokPipeline(
-                    spark,
-                    PipelineConfig(out_dir=sink_dir, resume=False, **cfg_kwargs),
-                ).run(spark.read.parquet(pipe_path))
-                best = min(best, time.monotonic() - t0)
-            finally:
-                shutil.rmtree(sink_dir, ignore_errors=True)
-        return best
-
-    queries["pipeline_sinks"] = round(
-        run_pipe(parse_partitions=cpus, single_pass=True), 3
-    )
-    # ranged mode: unit = input file-range — one total scan + per-range
-    # resume + observe-based counts (the 10^12-scale configuration)
-    queries["pipeline_sinks_ranged"] = round(run_pipe(range_units=4), 3)
+    def pipe_sample(**cfg_kwargs) -> float:
+        """One timed pipeline run into a fresh sink dir."""
+        sink_dir = tempfile.mkdtemp(prefix="grokspark_bench_")
+        try:
+            t0 = time.monotonic()
+            GrokPipeline(
+                spark,
+                PipelineConfig(out_dir=sink_dir, resume=False, **cfg_kwargs),
+            ).run(spark.read.parquet(pipe_path))
+            return time.monotonic() - t0
+        finally:
+            shutil.rmtree(sink_dir, ignore_errors=True)
 
     # --- headline relational / training-data queries on sf tables ------
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in [
-        "agg_pricing_summary",
-        "join_segment_revenue",
-        "window_top_orders",
-        "events_sessionize",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "simhash_pairs",
-        "knn_join",
-        "fingerprint",
-        "token_counts",
-        "text_quality",
-        "ann_topk",
-        "bpe_tokenize",
-        "corpus_prepare",
-    ]:
-        fn = qs[name]
-        queries[name] = round(time_action(lambda: fn(spark, sf_dir).collect(), 2), 3)
+
+    def q_sample(fn, reset=None):
+        """One timed sample of an entry query. ``reset`` drops any
+        per-process result cache first — the dedup queries share a
+        materialized pair graph so the ORACLE SWEEP builds it once,
+        but the bench must measure the full build every sample."""
+
+        def sample():
+            if reset is not None:
+                reset()
+            return time_once(lambda: fn(spark, sf_dir).collect())
+
+        return sample
+
+    # every query, one sample per round, minimum across rounds; the
+    # headline gets a third round. Interleaved so a box-noise window
+    # can poison at most one of each query's attempts (see
+    # round_robin_best / VERDICT r4 #1).
+    items: list[tuple[str, object, int]] = [
+        ("parse_route", lambda: time_once(parse_route), 3),
+        ("pipeline_sinks", lambda: pipe_sample(parse_partitions=cpus, single_pass=True), 2),
+        # ranged mode: unit = input file-range — one total scan +
+        # per-range resume + observe-based counts (the 10^12-scale
+        # configuration)
+        ("pipeline_sinks_ranged", lambda: pipe_sample(range_units=4), 2),
+    ] + [
+        (
+            name,
+            q_sample(
+                qs[name],
+                reset=entry._DOC_PAIRS_CACHE.clear
+                if name.startswith("dedup_")
+                else None,
+            ),
+            2,
+        )
+        for name in [
+            "agg_pricing_summary",
+            "join_segment_revenue",
+            "window_top_orders",
+            "events_sessionize",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "simhash_pairs",
+            "knn_join",
+            "fingerprint",
+            "token_counts",
+            "text_quality",
+            "ann_topk",
+            "bpe_tokenize",
+            "corpus_prepare",
+        ]
+    ]
+    best = round_robin_best(items)
+    queries.update({name: round(sec, 3) for name, sec in best.items()})
+    parse_sec = best["parse_route"]
+    throughput = n / parse_sec
 
     return {
         "metric": "parse_route_throughput",

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pretokenize",
+    "cap_word_counts",
     "train_bpe_py",
     "train_bpe",
     "encode_word",
@@ -76,6 +77,19 @@ def pretokenize(text: Optional[str]) -> list[str]:
 
 def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
+
+
+def cap_word_counts(
+    counts: dict[str, int], max_words: Optional[int]
+) -> dict[str, int]:
+    """Deterministic top-N cap of a word-frequency table (count desc,
+    word asc) — the pure-Python twin of ``train_bpe``'s Spark-side
+    ``orderBy(n desc, word asc).limit(max_words)``. Bounds what rides
+    to the driver when the distinct-word tail is corpus-scale."""
+    if max_words is None or len(counts) <= max_words:
+        return counts
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    return dict(top)
 
 
 def train_bpe_py(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from grokspark.operators.bpe import (
     apply_bpe_ids,
     bpe_vocab,
+    cap_word_counts,
     encode_word,
     pretokenize,
     train_bpe_py,
@@ -64,6 +65,7 @@ def prepare_corpus(
     max_len: int = 512,
     n_buckets: int = 32,
     n_merges: int = 200,
+    max_words: Optional[int] = None,
     threshold: float = 0.5,
     n: int = 2,
     bands: int = 64,
@@ -72,7 +74,10 @@ def prepare_corpus(
 ) -> DataFrame:
     """Quality-filter, dedup, split, BPE-tokenize and pack a raw
     ``(id, text)`` corpus into training rows (module doc has the full
-    contract)."""
+    contract). ``max_words`` caps the word-frequency table that rides
+    to the driver for the BPE merge loop (deterministic top-N: count
+    desc, word asc) — at corpus scale the distinct-word tail is
+    Heaps-bounded but not driver-bounded without it."""
     weights = split_weights or DEFAULT_SPLITS
 
     quality = quality_scores(df, text_col).filter(F.col("quality_keep") == 1)
@@ -86,9 +91,10 @@ def prepare_corpus(
     kept = hash_split(kept, weights, id_col=id_col).localCheckpoint()
 
     train_docs = kept.filter(F.col("split") == "train")
-    counts = {
-        r["word"]: r["n"] for r in word_counts_df(train_docs, text_col).collect()
-    }
+    wc = word_counts_df(train_docs, text_col)
+    if max_words is not None:
+        wc = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_words)
+    counts = {r["word"]: r["n"] for r in wc.collect()}
     merges = train_bpe_py(counts, n_merges)
     vocab = bpe_vocab(counts, merges)
 
@@ -219,6 +225,7 @@ def prepare_corpus_py(
     max_len: int = 512,
     n_buckets: int = 32,
     n_merges: int = 200,
+    max_words: Optional[int] = None,
     threshold: float = 0.5,
     n: int = 2,
 ) -> list[dict]:
@@ -238,6 +245,7 @@ def prepare_corpus_py(
         if split_of[i] == "train":
             for w in pretokenize(t):
                 counts[w] = counts.get(w, 0) + 1
+    counts = cap_word_counts(counts, max_words)
     merges = train_bpe_py(counts, n_merges)
     vocab = bpe_vocab(counts, merges)
     ranks = {p: j for j, p in enumerate(merges)}

@@ -631,6 +631,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     collapse_exact: bool = True,
     max_iterations: int = 20,
+    precomputed_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The end-to-end dedup decision a training pipeline materializes:
     ``(doc_id, cluster_id, keep)`` for EVERY document — ``cluster_id``
@@ -646,7 +647,18 @@ def dedup_corpus(
     broadcast back to all members. Output is IDENTICAL with
     ``collapse_exact=False`` (byte-equal docs have Jaccard 1 >=
     threshold, so they cluster anyway — asserted in tests); the flag
-    only changes how much text the LSH stage chews."""
+    only changes how much text the LSH stage chews.
+
+    ``precomputed_pairs``: an already-materialized exact-recall pair
+    set (``id_a, id_b, ...``) over a SUPERSET of ``df``'s ids — e.g.
+    the ``minhash_lsh_pairs`` output a sibling job computed with the
+    SAME (threshold, n) on the same corpus. Because the emitted pairs
+    are exact-verified (precision) and band-complete at the caller's
+    chosen recall, restricting a superset's pairs to the
+    representative set equals recomputing pairs over the
+    representatives — each pair's membership depends only on the two
+    documents. Skips the whole LSH stage (the dominant cost when the
+    pair graph is shared across dedup queries)."""
     from grokspark.operators.textops import content_fingerprint_col
 
     ids = df.select(
@@ -662,9 +674,17 @@ def dedup_corpus(
     else:
         doc_rep = ids.select("id", F.col("id").alias("rep_id"))
         rep_docs = df
-    pairs = minhash_lsh_pairs(
-        rep_docs, threshold, n, num_hashes, bands, text_col, id_col
-    )
+    if precomputed_pairs is not None:
+        rep_ids = rep_docs.select(F.col(id_col).alias("_rid"))
+        pairs = (
+            precomputed_pairs.join(
+                rep_ids.withColumnRenamed("_rid", "id_a"), "id_a", "left_semi"
+            ).join(rep_ids.withColumnRenamed("_rid", "id_b"), "id_b", "left_semi")
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            rep_docs, threshold, n, num_hashes, bands, text_col, id_col
+        )
     clusters = duplicate_clusters(pairs, max_iterations).withColumnRenamed(
         "id", "rep_id"
     )
