@@ -813,6 +813,72 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality scores, map-only (no shuffle in
+    the scoring itself; see textops.repetition_scores). Per-source
+    keep counts plus the full per-doc rows for a deterministic 1-in-11
+    sample (value coverage for the mode-bigram fold and both
+    single-division ratios)."""
+    from grokspark.operators import repetition_scores
+
+    docs = repetition_scores(_read(spark, sf_dir, "documents"))
+    return docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        "n_words",
+        "dup_word_ratio",
+        "top_bigram",
+        F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
+        "top_bigram_ratio",
+        F.col("repetition_keep").cast("long").alias("repetition_keep"),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically PII-salted documents (the
+    corpus itself carries no emails/IPs, so each sampled doc is
+    prefixed with synthesized PII derived from its id — both engines
+    build the identical string). Checks per-kind counts AND the
+    redacted text itself."""
+    from grokspark.operators import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"),
+            F.col("doc_id"),
+            F.lit("@ex.com or 10."),
+            (F.col("doc_id") % 256),
+            F.lit(".0.1 call 555-123-4567 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = redact_pii(salted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.substring("redacted", 1, 64).alias("redacted_head"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in
+    for the eval suite; every other doc sharing a word 3-gram with
+    them is flagged with its distinct-hit count. Exact (broadcast hash
+    candidates + string verify — operators/decontam.py); oracle is
+    plain n-gram set intersection."""
+    from grokspark.operators import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import fingerprint
 
@@ -1281,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
         "winnow_pairs": q_winnow_pairs,
@@ -1412,6 +1481,13 @@ def _ann_lsh_oracle_sql(n_planes: int = 8, probe_hamming: int = 2, k: int = 10) 
 
 # shared SQL fragments (mirror grokspark.operators formulas exactly)
 _WORDS = "string_split_regex(trim(text), '\\s+')"
+_LWORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# the one source of truth for the PII regexes (common Java-regex / RE2
+# dialect) — the oracle embeds the very same strings the operator runs
+from grokspark.operators.textops import PII_PATTERNS as _PII
+
+_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in _PII)
 _BIGRAMS = (
     "CASE WHEN len({w}) >= 2 THEN "
     "list_distinct([{w}[i] || ' ' || {w}[i+1] FOR i IN range(1, len({w}))]) "
@@ -1742,6 +1818,78 @@ def _oracle_sql_base() -> dict[str, str]:
                    THEN 'en' ELSE 'other' END AS lang_pred,
               COUNT(*) AS n
             FROM documents GROUP BY 1, 2
+        """,
+        # mode-bigram via explode+group+row_number (the ORACLE need not
+        # mirror the Spark side's map-only sorted-run fold — only its
+        # result: ties break to the lexicographically smallest gram)
+        "repetition": f"""
+            WITH w AS (
+              SELECT doc_id, length(text) AS n_chars, {_LWORDS} AS ws
+              FROM documents WHERE doc_id % 11 = 0),
+            base AS (
+              SELECT doc_id, n_chars, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_distinct,
+                     CASE WHEN len(ws) >= 2
+                       THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+                       ELSE [] END AS grams
+              FROM w),
+            e AS (SELECT doc_id, unnest(grams) AS g FROM base),
+            c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, g, cnt FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+                FROM c) WHERE rn = 1)
+            SELECT b.doc_id,
+                   b.n_words,
+                   (b.n_words - b.n_distinct)::DOUBLE / b.n_words::DOUBLE AS dup_word_ratio,
+                   COALESCE(top.g, '') AS top_bigram,
+                   COALESCE(top.cnt, 0) AS top_bigram_cnt,
+                   CASE WHEN b.n_chars > 0
+                     THEN (COALESCE(top.cnt, 0) * length(COALESCE(top.g, '')))::DOUBLE
+                          / b.n_chars::DOUBLE
+                     ELSE 0.0 END AS top_bigram_ratio,
+                   CASE WHEN (b.n_words - b.n_distinct)::DOUBLE / b.n_words::DOUBLE <= 0.6
+                         AND CASE WHEN b.n_chars > 0
+                               THEN (COALESCE(top.cnt, 0) * length(COALESCE(top.g, '')))::DOUBLE
+                                    / b.n_chars::DOUBLE
+                               ELSE 0.0 END <= 0.12
+                   THEN 1 ELSE 0 END AS repetition_keep
+            FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        # PII patterns are shared verbatim with textops.PII_PATTERNS
+        # (the common Java-regex/RE2 dialect); DuckDB needs the 'g'
+        # flag for replace-all and counts via regexp_extract_all
+        "redact_pii": f"""
+            WITH salted AS (
+              SELECT doc_id,
+                'contact u' || doc_id || '@ex.com or 10.' || (doc_id % 256)
+                  || '.0.1 call 555-123-4567 ' || text AS text
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT doc_id,
+              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+              len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+              len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+              substring(regexp_replace(regexp_replace(regexp_replace(text,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g'), 1, 64) AS redacted_head
+            FROM salted
+        """,
+        "decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, {_LWORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, CASE WHEN len(ws) >= 3
+                THEN list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])
+                ELSE [array_to_string(ws, ' ')] END AS grams
+              FROM w),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 0)
+            SELECT e.doc_id, COUNT(*) AS n_hits
+            FROM e JOIN bench USING (gram)
+            WHERE e.doc_id % 50 <> 0
+            GROUP BY e.doc_id
         """,
         "fingerprint": """
             SELECT lang,

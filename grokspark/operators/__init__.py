@@ -47,10 +47,17 @@ from grokspark.operators.similarity import (
     lsh_bucketed_topk,
     lsh_index_topk,
 )
+from grokspark.operators.decontam import (
+    benchmark_grams,
+    decontaminate,
+    decontaminate_corpus,
+)
 from grokspark.operators.textops import (
     fingerprint,
     lang_id,
     quality_scores,
+    redact_pii,
+    repetition_scores,
     token_count,
     winnow_fingerprints,
     winnow_pairs,
@@ -81,6 +88,11 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprint",
+    "repetition_scores",
+    "redact_pii",
+    "benchmark_grams",
+    "decontaminate",
+    "decontaminate_corpus",
     "winnow_fingerprints",
     "winnow_pairs",
     "kmv_distinct",

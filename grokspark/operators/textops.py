@@ -16,6 +16,8 @@ __all__ = [
     "words",
     "token_count",
     "quality_scores",
+    "repetition_scores",
+    "redact_pii",
     "lang_id",
     "fingerprint",
     "content_fingerprint_col",
@@ -77,6 +79,112 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_ratio", stop_ratio)
         .withColumn("quality_keep", keep)
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition-quality features, computed MAP-ONLY
+    (no shuffle: the per-document mode-bigram is a sort_array + linear
+    fold inside the row, not an explode + groupBy — at 100 TB the
+    repetition filter is a pure scan-fused stage):
+
+    - ``dup_word_ratio``      = (n_words - n_distinct_words) / n_words
+    - ``top_bigram``          = most frequent word 2-gram (ties: the
+                                lexicographically smallest, which the
+                                ascending sort makes the FIRST maximal
+                                run — deterministic across engines)
+    - ``top_bigram_cnt``      = its occurrence count (0 if < 2 words)
+    - ``top_bigram_ratio``    = top_bigram_cnt * length(top_bigram)
+                                / n_chars (the fraction of characters
+                                inside copies of the top bigram)
+    - ``repetition_keep``     = 1 iff dup_word_ratio <= 0.6 AND
+                                top_bigram_ratio <= 0.12 (both
+                                single-division doubles of exact ints,
+                                so the SQL oracle compares bit-equal)
+
+    The real Gopher rule-set adds line/paragraph fractions; these
+    corpora are single-line, so the word/bigram family is the
+    meaningful subset — the operator shape (document -> scores + keep
+    flag, no Python) is what carries over."""
+    text = F.col(text_col)
+    w = words(F.lower(text))
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    dup_ratio = (n_words - F.size(F.array_distinct(w))).cast(
+        "double"
+    ) / n_words.cast("double")
+
+    # all bigrams (with multiplicity), sorted so equal grams are
+    # adjacent; same zip_with shape as dedup.ngrams (no per-index
+    # slice — that form is O(words^2) per document)
+    glen = n_words - 1
+    bigrams = F.zip_with(
+        F.slice(w, 1, glen), F.slice(w, 2, glen), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    sorted_grams = F.sort_array(bigrams)
+    # linear fold: longest run of equal adjacent grams = mode count.
+    # Strict > keeps the FIRST maximal run -> smallest gram on ties.
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_gram"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    top = F.aggregate(sorted_grams, init, step)
+    top_cnt = F.when(n_words >= 2, top["best"]).otherwise(F.lit(0))
+    top_gram = F.when(n_words >= 2, top["best_gram"]).otherwise(F.lit(""))
+    top_ratio = (top_cnt * F.length(top_gram)).cast("double") / n_chars.cast(
+        "double"
+    )
+    top_ratio = F.when(n_chars > 0, top_ratio).otherwise(F.lit(0.0))
+    keep = ((dup_ratio <= 0.6) & (top_ratio <= 0.12)).cast("int")
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("dup_word_ratio", dup_ratio)
+        .withColumn("top_bigram", top_gram)
+        .withColumn("top_bigram_cnt", top_cnt)
+        .withColumn("top_bigram_ratio", top_ratio)
+        .withColumn("repetition_keep", keep)
+    )
+
+
+# PII patterns: deliberately inside the Java-regex / RE2 / DuckDB
+# common dialect (no backrefs, no lookaround, ASCII classes, \b is the
+# ASCII word boundary in all three) so the SQL oracle applies the SAME
+# source strings. Email before phone: an email's digit runs must not be
+# half-eaten by the phone rule.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction as a scan-fused JVM stage: sequential
+    ``regexp_replace`` per pattern (email -> ipv4 -> phone, order is
+    part of the contract) plus per-kind match counts BEFORE redaction.
+    Adds ``redacted`` plus ``n_email/n_ipv4/n_phone`` columns; no UDF,
+    no shuffle — at corpus scale this rides the same whole-stage
+    codegen span as the quality filters."""
+    text = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(text, F.lit(pat)))
+    red = text
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,165 @@
+"""Repetition quality, PII redaction, and benchmark decontamination:
+each Spark operator vs a transparent pure-Python twin on crafted
+corpora covering the edge rules (ties, 1-word/empty docs, short docs,
+hash-candidate vs string-verify)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from grokspark.operators.decontam import decontaminate, decontaminate_corpus
+from grokspark.operators.textops import (
+    PII_PATTERNS,
+    redact_pii,
+    repetition_scores,
+)
+
+REP_DOCS = [
+    (0, "the cat sat on the mat the cat sat again"),
+    (1, "go go go go go"),                 # one dominant bigram "go go"
+    (2, "a b a b a b a b"),                # tie candidates a b / b a
+    (3, "unique words only here now"),     # all bigrams distinct -> tie
+    (4, "word"),                           # single word: no bigrams
+    (5, ""),                               # empty text
+    (6, "x y x y z x y"),
+]
+
+
+def _rep_py(text: str):
+    ws = re.split(r"\s+", text.strip().lower()) if True else []
+    n_words = len(ws)
+    n_chars = len(text)
+    dup = (n_words - len(set(ws))) / n_words
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    if grams:
+        counts = Counter(grams)
+        best = max(counts.values())
+        top = min(g for g, c in counts.items() if c == best)
+        cnt = best
+    else:
+        top, cnt = "", 0
+    ratio = (cnt * len(top)) / n_chars if n_chars else 0.0
+    keep = 1 if (dup <= 0.6 and ratio <= 0.12) else 0
+    return n_words, dup, top, cnt, ratio, keep
+
+
+def test_repetition_scores_match_python_twin(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["dup_word_ratio"], r["top_bigram"],
+            r["top_bigram_cnt"], r["top_bigram_ratio"], r["repetition_keep"],
+        )
+        for r in repetition_scores(df).collect()
+    }
+    for i, t in REP_DOCS:
+        assert got[i] == _rep_py(t), (i, t, got[i], _rep_py(t))
+    # spot-check the tie rule: doc 2's "a b" (4) beats "b a" (3); doc
+    # 3 ties everywhere -> lexicographically smallest bigram wins
+    assert got[2][2] == "a b" and got[2][3] == 4
+    w3 = "unique words only here now".split()
+    assert got[3][2] == min(f"{a} {b}" for a, b in zip(w3, w3[1:]))
+    assert got[4][3] == 0 and got[4][2] == ""
+
+
+def test_repetition_scores_no_shuffle(spark):
+    """The scoring stage must stay map-only — no Exchange in the plan
+    (the whole point of the sorted-run fold vs explode+groupBy)."""
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+PII_DOCS = [
+    (0, "mail bob.smith+x@sub.example.co.uk now"),
+    (1, "node 192.168.0.1 and 10.20.30.40 up"),
+    (2, "call 555-123-4567 or 020.7946.0958 x"),
+    (3, "overlap a@b.io 1.2.3.4 999-1234-5678"),
+    (4, "none of those here"),
+    (5, "not an ip 1234.5.6.7890 or mail @nope"),
+]
+
+
+def _pii_py(text: str):
+    counts = [len(re.findall(p, text)) for _, p, _ in PII_PATTERNS]
+    red = text
+    for _, p, token in PII_PATTERNS:
+        red = re.sub(p, token, red)
+    return (*counts, red)
+
+
+def test_redact_pii_matches_python_twin(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["redacted"])
+        for r in redact_pii(df).collect()
+    }
+    for i, t in PII_DOCS:
+        assert got[i] == _pii_py(t), (i, t)
+    assert got[0][3] == "mail <EMAIL> now"
+    assert got[3][3] == "overlap <EMAIL> <IP> <PHONE>"
+    # \b guards: 1234.5.6.7890 is not an IPv4
+    assert got[5][0] == 0 and got[5][1] == 0
+
+
+DECON_BENCH = [
+    (100, "alpha beta gamma delta"),
+    (101, "one two three"),
+]
+DECON_TRAIN = [
+    (0, "xx alpha beta gamma yy"),       # shares 'alpha beta gamma'
+    (1, "alpha beta gamma delta zz"),    # shares 2 distinct grams
+    (2, "beta gamma alpha nothing"),     # no shared TRIgram
+    (3, "one two three"),                # whole-doc gram match
+    (4, "totally different text here"),
+    (5, "one two"),                      # short doc -> gram 'one two' not in bench grams
+]
+
+
+def _grams_py(text: str, n: int = 3):
+    ws = re.split(r"\s+", text.strip().lower())
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_decontaminate_matches_python_twin(spark):
+    train = spark.createDataFrame(DECON_TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(DECON_BENCH, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, bench, n=3).collect()}
+    bench_grams = set().union(*(_grams_py(t) for _, t in DECON_BENCH))
+    want = {}
+    for i, t in DECON_TRAIN:
+        hits = len(_grams_py(t) & bench_grams)
+        if hits:
+            want[i] = hits
+    assert got == want
+    assert 2 not in got and 5 not in got and got[1] == 2 and got[3] == 1
+
+
+def test_decontaminate_corpus_keep_flags(spark):
+    train = spark.createDataFrame(DECON_TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(DECON_BENCH, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in decontaminate_corpus(train, bench, n=3).collect()
+    }
+    assert len(rows) == len(DECON_TRAIN)  # every train row present
+    assert rows[4] == (0, True) and rows[2] == (0, True)
+    assert rows[0][1] is False and rows[3][1] is False
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram side must be broadcast — the corpus side
+    never shuffles for the join."""
+    train = spark.createDataFrame(DECON_TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(DECON_BENCH, "doc_id long, text string")
+    plan = (
+        decontaminate(train, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
