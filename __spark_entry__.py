@@ -528,6 +528,29 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.8, "src3": 0.0}
+MIXTURE_DEFAULT = 0.9
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling (the pretraining data-mixing step):
+    per-source keep fractions via the same salted-hash exact-ppm rule
+    as hash_sample — scan-fused literal-map bound lookup, no join.
+    Oracle: the identical hash + per-source integer thresholds in
+    SQL."""
+    from grokspark.operators import mixture_sample
+
+    kept = mixture_sample(
+        _read(spark, sf_dir, "documents"),
+        MIXTURE_FRACTIONS,
+        default=MIXTURE_DEFAULT,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 KMV_K = 64
 
 
@@ -1326,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "hash_split_counts": q_hash_split_counts,
         "hash_sample": q_hash_sample,
+        "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
         "dedup_exact": q_dedup_exact,
@@ -1412,6 +1436,21 @@ def _hash_sample_oracle_sql() -> str:
         SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                MIN(doc_id) AS min_id
         FROM documents WHERE {h} < {bound}
+    """
+
+
+def _mixture_sample_oracle_sql() -> str:
+    space = 1 << 48
+    h = _duck_salted_hash("mix")
+    case = "CASE source "
+    for src, frac in MIXTURE_FRACTIONS.items():
+        case += f"WHEN '{src}' THEN {space * round(frac * 1_000_000) // 1_000_000} "
+    case += f"ELSE {space * round(MIXTURE_DEFAULT * 1_000_000) // 1_000_000} END"
+    return f"""
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents WHERE {h} < {case}
+        GROUP BY source
     """
 
 
@@ -1692,6 +1731,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # integer thresholds -> every per-row assignment matches
         "hash_split_counts": _hash_split_oracle_sql(),
         "hash_sample": _hash_sample_oracle_sql(),
+        "mixture_sample": _mixture_sample_oracle_sql(),
         "pack_sequences": _values_sql(
             _pack_oracle_rows(),
             [

@@ -207,6 +207,10 @@ def run_bench(
             "ann_topk",
             "bpe_tokenize",
             "corpus_prepare",
+            "repetition",
+            "redact_pii",
+            "decontaminate",
+            "mixture_sample",
         ]
     ]
     best = round_robin_best(items)

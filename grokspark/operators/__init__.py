@@ -36,7 +36,12 @@ from grokspark.operators.ivf import (
     train_ivf_centroids,
 )
 from grokspark.operators.packing import pack_sequences
-from grokspark.operators.sampling import hash_sample, hash_split
+from grokspark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    mixture_sample,
+    target_mixture_fractions,
+)
 from grokspark.operators.sketches import kmv_distinct
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
@@ -98,6 +103,8 @@ __all__ = [
     "kmv_distinct",
     "hash_split",
     "hash_sample",
+    "mixture_sample",
+    "target_mixture_fractions",
     "pack_sequences",
     "train_bpe",
     "apply_bpe",

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from grokspark.operators.sketches import KMV_SPACE_BITS
 
-__all__ = ["hash_split", "hash_sample", "split_thresholds"]
+__all__ = [
+    "hash_split",
+    "hash_sample",
+    "mixture_sample",
+    "target_mixture_fractions",
+    "split_thresholds",
+]
 
 _SPACE = 1 << KMV_SPACE_BITS
 _PPM = 1_000_000
@@ -89,3 +95,63 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     bound = _SPACE * round(fraction * _PPM) // _PPM
     return df.filter(_salted_hash(id_col, salt) < F.lit(bound))
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep a per-``group_col`` fraction
+    of rows (the pretraining data-mixing step — down-weight
+    overrepresented domains to a target mixture). Same salted-hash /
+    exact-ppm-threshold rule as ``hash_sample``, so per-group samples
+    are deterministic, partition-independent, stable under corpus
+    growth, and NEST across fraction changes (raising a domain's
+    fraction only ADDS documents). Groups absent from ``fractions``
+    keep ``default``.
+
+    Scan-fused: the per-row bound is a small literal map lookup — no
+    join, no shuffle, one filter inside the scan's codegen span (the
+    domain list is dozens-scale; corpus is the big side)."""
+    for k, f in {**fractions, "<default>": default}.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    bounds = {k: _SPACE * round(f * _PPM) // _PPM for k, f in fractions.items()}
+    default_bound = _SPACE * round(default * _PPM) // _PPM
+    if bounds:
+        mapping = F.create_map(
+            *[x for k, b in bounds.items() for x in (F.lit(k), F.lit(b))]
+        )
+        bound = F.coalesce(
+            mapping[F.col(group_col)], F.lit(default_bound)
+        )
+    else:
+        bound = F.lit(default_bound)
+    return df.filter(_salted_hash(id_col, salt) < bound)
+
+
+def target_mixture_fractions(
+    counts: dict[str, int], target: dict[str, float]
+) -> dict[str, float]:
+    """Per-group keep fractions realizing ``target`` proportions by
+    DOWNSAMPLING only: the output corpus is the largest one where
+    every group g holds exactly target_g of the total and no fraction
+    exceeds 1. Pure arithmetic (scale C = min_g counts_g / target_g;
+    keep_g = C * target_g / counts_g), so the binding group keeps
+    fraction 1.0. Drives ``mixture_sample``; groups with target 0 are
+    dropped."""
+    tot = sum(target.values())
+    if not tot > 0:
+        raise ValueError("target proportions must sum to a positive value")
+    norm = {k: v / tot for k, v in target.items()}
+    missing = [k for k, v in norm.items() if v > 0 and counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(f"target groups with no rows: {missing}")
+    scale = min(counts[k] / v for k, v in norm.items() if v > 0)
+    return {
+        k: (scale * v / counts[k] if v > 0 else 0.0) for k, v in norm.items()
+    }

@@ -163,3 +163,72 @@ def test_decontaminate_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# -- mixture sampling (data mixing) ------------------------------------------
+
+
+def test_mixture_sample_per_group_nesting_and_default(spark):
+    from grokspark.operators import hash_sample, mixture_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {
+        r["doc_id"]
+        for r in mixture_sample(df, {"g0": 0.2, "g1": 0.0}, default=1.0).collect()
+    }
+    # g1 fully dropped, g2 (absent from dict) fully kept via default
+    assert not any(i % 3 == 1 for i in kept)
+    assert all(i in kept for i in range(600) if i % 3 == 2)
+    # g0 roughly 20% (binomial tolerance on 200 rows)
+    g0 = sum(1 for i in kept if i % 3 == 0)
+    assert 20 <= g0 <= 60, g0
+    # nesting: raising a group's fraction only ADDS rows
+    kept5 = {
+        r["doc_id"]
+        for r in mixture_sample(df, {"g0": 0.5, "g1": 0.0}, default=1.0).collect()
+    }
+    assert {i for i in kept if i % 3 == 0} <= {i for i in kept5 if i % 3 == 0}
+    # same salt + same fraction == hash_sample on the single group
+    only_g0 = df.filter(df.source == "g0")
+    a = {r["doc_id"] for r in mixture_sample(only_g0, {"g0": 0.2}, salt="s").collect()}
+    b = {r["doc_id"] for r in hash_sample(only_g0, 0.2, salt="s").collect()}
+    assert a == b
+    # invariant to repartitioning
+    c = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(13), {"g0": 0.2, "g1": 0.0}, default=1.0
+        ).collect()
+    }
+    assert c == kept
+
+
+def test_mixture_sample_no_shuffle_no_join(spark):
+    from grokspark.operators import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = (
+        mixture_sample(df, {"a": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_target_mixture_fractions():
+    from grokspark.operators import target_mixture_fractions
+
+    # web is 8x over target, books binds at 1.0
+    counts = {"web": 8000, "books": 1000}
+    fr = target_mixture_fractions(counts, {"web": 0.5, "books": 0.5})
+    assert fr["books"] == 1.0 and abs(fr["web"] - 0.125) < 1e-12
+    # realized proportions hit the target exactly
+    kept = {k: counts[k] * v for k, v in fr.items()}
+    assert abs(kept["web"] - kept["books"]) < 1e-9
+    # zero-target group dropped; unnormalized targets accepted
+    fr2 = target_mixture_fractions(counts, {"web": 2.0, "books": 2.0, "junk": 0.0})
+    assert fr2["junk"] == 0.0 and fr2["books"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_mixture_fractions({"web": 10}, {"web": 0.5, "missing": 0.5})
