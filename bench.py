@@ -326,7 +326,10 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
     cost curvature in BENCH/SCALE_PROBES.md. The 10x knn_join runs with
     n_planes=None, exercising the auto-sizing path on a corpus big
     enough that the chosen plane count actually grows."""
+    from pyspark.sql import functions as F
+
     from grokspark.operators import (
+        decontaminate,
         knn_join,
         minhash_lsh_pairs,
         prepare_corpus,
@@ -380,6 +383,17 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
             "corpus_prepare",
             lambda f: _mutated_docs_keep_quality(spark, sf_dir, f),
             lambda df: prepare_corpus(df, max_len=256, n_buckets=32, n_merges=120),
+        ),
+        (
+            # benchmark side grows with the corpus (same %50 rule the
+            # gate query uses), so candidate volume scales honestly
+            "decontaminate",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: decontaminate(
+                df.filter(F.col("doc_id") % 50 != 0),
+                df.filter(F.col("doc_id") % 50 == 0),
+                n=3,
+            ),
         ),
     ]:
         for factor in (1, 10):
