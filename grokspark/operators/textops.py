@@ -104,8 +104,10 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     The real Gopher rule-set adds line/paragraph fractions; these
     corpora are single-line, so the word/bigram family is the
     meaningful subset — the operator shape (document -> scores + keep
-    flag, no Python) is what carries over."""
-    text = F.col(text_col)
+    flag, no Python) is what carries over. NULL text scores as empty
+    (dup 0, ratio 0, keep 1) rather than poisoning the keep flag to
+    NULL."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     w = words(F.lower(text))
     n_words = F.size(w)
     n_chars = F.length(text)

@@ -232,3 +232,13 @@ def test_target_mixture_fractions():
 
     with _pytest.raises(ValueError):
         target_mixture_fractions({"web": 10}, {"web": 0.5, "missing": 0.5})
+
+
+def test_repetition_scores_null_text(spark):
+    """NULL text scores as empty — keep stays a real 0/1, never NULL."""
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = repetition_scores(df).collect()[0]
+    assert (
+        r["dup_word_ratio"], r["top_bigram"], r["top_bigram_cnt"],
+        r["top_bigram_ratio"], r["repetition_keep"],
+    ) == (0.0, "", 0, 0.0, 1)
