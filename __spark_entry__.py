@@ -1279,6 +1279,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, distributed: deterministic RIFF/WAVE PCM16
+    payloads rendered per row in mapInPandas, decoded with the stdlib
+    wave codec, integer-exact features (isqrt RMS — no float sqrt).
+    Oracle: identical fabricate+decode single-process, as VALUES."""
+    from grokspark.operators.audio import extract_audio_features, wav_payload_df
+
+    feats = extract_audio_features(wav_payload_df(_grok_text_df(spark)))
+    return _audio_agg(feats)
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed audio resample (decimation by 4): decode,
+    keep every 4th sample, re-encode, re-featurize. Oracle: the same
+    two-step chain single-process."""
+    from grokspark.operators.audio import (
+        extract_audio_features,
+        resample_audio,
+        wav_payload_df,
+    )
+
+    payloads = wav_payload_df(_grok_text_df(spark))
+    feats = extract_audio_features(resample_audio(payloads, AUDIO_DECIMATE))
+    return _audio_agg(feats)
+
+
+AUDIO_DECIMATE = 4
+
+
+def _audio_agg(feats: DataFrame) -> DataFrame:
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_samples").alias("sum_samples"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+        F.sum("rms_milli").alias("sum_rms_milli"),
+        F.sum("zero_crossings").alias("sum_zc"),
+        F.countDistinct("sha1").alias("n_distinct"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _audio_oracle_rows() -> dict[str, list[tuple]]:
+    """Single-process reference: fabricate the same WAVs, decode with
+    the same stdlib codec — raw and decimated."""
+    import hashlib as _hashlib
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.audio import fake_wav, resample_wav, wav_features
+
+    out = {}
+    for mode in ("raw", "resampled"):
+        n = s_samp = s_dur = s_rms = s_zc = 0
+        sha1s: set[str] = set()
+        for r in iter_rows(GROK_N):
+            text = bytes(r["tokens"]).decode("utf-8")
+            payload = fake_wav(r["doc_id"], text)
+            if mode == "resampled":
+                payload = resample_wav(payload, AUDIO_DECIMATE)
+            f = wav_features(payload)
+            n += 1
+            s_samp += f["n_samples"]
+            s_dur += f["duration_ms"]
+            s_rms += f["rms_milli"]
+            s_zc += f["zero_crossings"]
+            sha1s.add(_hashlib.sha1(payload).hexdigest())
+        out[mode] = [("audio", n, s_samp, s_dur, s_rms, s_zc, len(sha1s))]
+    return out
+
+
+_AUDIO_COLS = [
+    ("modality", "VARCHAR"),
+    ("n", "BIGINT"),
+    ("sum_samples", "BIGINT"),
+    ("sum_duration_ms", "BIGINT"),
+    ("sum_rms_milli", "BIGINT"),
+    ("sum_zc", "BIGINT"),
+    ("n_distinct", "BIGINT"),
+]
+
+
 def _feature_agg(feats: DataFrame) -> DataFrame:
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1378,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "winnow_pairs": q_winnow_pairs,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
+        "audio_resample": q_audio_resample,
         "multimodal_resize": q_multimodal_resize,
         "video_frame_features": q_video_frame_features,
     }
@@ -1984,6 +2066,12 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "multimodal_features": _values_sql(
             _multimodal_oracle_rows(), _MM_COLS
+        ),
+        "audio_features": _values_sql(
+            _audio_oracle_rows()["raw"], _AUDIO_COLS
+        ),
+        "audio_resample": _values_sql(
+            _audio_oracle_rows()["resampled"], _AUDIO_COLS
         ),
         "multimodal_resize": _values_sql(_resize_oracle_rows(), _MM_COLS),
         "video_frame_features": _values_sql(_video_oracle_rows(), _MM_COLS),

@@ -2,12 +2,14 @@
 processed in Arrow batches via mapInPandas.
 
 PNG payloads get a REAL decode — the pure-stdlib zlib+struct codec in
-``grokspark.operators.png`` (width/height/integer-exact luma). Other
-formats (JPEG/audio/video) still need codecs this container lacks, so
-they go through a clearly-marked deterministic fake (``fake=True``) or
-raise NotImplementedError; the distributed plumbing — schema, Arrow
-batch iteration, partition sizing, column pass-through — is identical
-for both and fully tested.
+``grokspark.operators.png`` (width/height/integer-exact luma) — and
+WAV audio gets a REAL decode via the stdlib ``wave`` codec (see
+``grokspark.operators.audio``). Remaining formats (JPEG, compressed
+audio) need codecs this container lacks, so they go through a
+clearly-marked deterministic fake (``fake=True``) or raise
+NotImplementedError; the distributed plumbing — schema, Arrow batch
+iteration, partition sizing, column pass-through — is identical for
+both and fully tested.
 
 Payload-table shape: (item_id string, modality string, payload binary,
 meta struct<mime:string, n_bytes:long>).
