@@ -445,6 +445,11 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
         "spreads over the suffixed word variants (more pieces/doc) — the",
         "composition is behaving, not leaking.",
         "",
+        "decontaminate: benchmark side = the %50 id rule, so it grows",
+        "with the corpus; the corpus pass explodes 8-byte gram hashes",
+        "against a broadcast benchmark table (no corpus shuffle) and",
+        "only candidate docs pay the string-verify rejoin.",
+        "",
         "knn_join's verify join moves candidates x 2 x vector_width",
         "bytes and fold-scores per row; knn_join_blocked ships each",
         "query vector once per PROBE (not per candidate) into a",

@@ -3,6 +3,10 @@ pipeline actually materializes, chaining the individually-verified
 operators:
 
     quality filter  (textops.quality_scores keep rule)
+ -> repetition filter (optional: textops.repetition_scores keep rule —
+                     the Gopher-style second quality gate)
+ -> decontamination (optional: decontam.decontaminate against a
+                     benchmark table — contaminated docs dropped)
  -> near-dup dedup  (dedup.dedup_corpus: exact collapse + MinHash-LSH
                      + connected components; keep one rep per cluster)
  -> hash split      (sampling.hash_split train/val/test)
@@ -71,16 +75,38 @@ def prepare_corpus(
     bands: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    repetition_filter: bool = False,
+    bench_df: Optional[DataFrame] = None,
+    decontam_n: int = 3,
 ) -> DataFrame:
     """Quality-filter, dedup, split, BPE-tokenize and pack a raw
     ``(id, text)`` corpus into training rows (module doc has the full
     contract). ``max_words`` caps the word-frequency table that rides
     to the driver for the BPE merge loop (deterministic top-N: count
     desc, word asc) — at corpus scale the distinct-word tail is
-    Heaps-bounded but not driver-bounded without it."""
+    Heaps-bounded but not driver-bounded without it.
+
+    ``repetition_filter=True`` adds the Gopher-style repetition keep
+    rule after the base quality gate (both are map-only, so they fuse
+    into one scan). ``bench_df`` drops every document sharing a word
+    ``decontam_n``-gram with the benchmark table BEFORE dedup (the
+    cheap filters shrink what LSH chews). Domain-mixture downsampling
+    (``sampling.mixture_sample``) composes upstream of this job — the
+    packed output drops the group column, so mix first."""
+    from grokspark.operators.textops import repetition_scores
+
     weights = split_weights or DEFAULT_SPLITS
 
     quality = quality_scores(df, text_col).filter(F.col("quality_keep") == 1)
+    if repetition_filter:
+        quality = repetition_scores(quality, text_col).filter(
+            F.col("repetition_keep") == 1
+        )
+    if bench_df is not None:
+        from grokspark.operators.decontam import decontaminate
+
+        hits = decontaminate(quality, bench_df, decontam_n, text_col, id_col)
+        quality = quality.join(hits, id_col, "left_anti")
     decisions = dedup_corpus(
         quality, threshold=threshold, n=n, bands=bands,
         text_col=text_col, id_col=id_col,
@@ -144,6 +170,48 @@ def _quality_keep_py(text: str) -> bool:
 
 
 _STOP = set(STOPWORDS_EN)
+
+
+def _repetition_keep_py(text: str) -> bool:
+    """Mirror of textops.repetition_scores' keep rule (same single
+    divisions, same tie-break: most frequent bigram, ties to the
+    lexicographically smallest)."""
+    text = text or ""
+    ws = _WS.split(text.strip().lower())
+    n_words = len(ws)
+    n_chars = len(text)
+    dup = (n_words - len(set(ws))) / n_words
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    if grams and n_chars > 0:
+        from collections import Counter
+
+        counts = Counter(grams)
+        best = max(counts.values())
+        top = min(g for g, c in counts.items() if c == best)
+        ratio = (best * len(top)) / n_chars
+    else:
+        ratio = 0.0
+    return dup <= 0.6 and ratio <= 0.12
+
+
+def _grams_py(text: str, n: int) -> set:
+    """Mirror of dedup.ngrams: distinct lowercase word n-grams, whole
+    text as one shingle when shorter than n words."""
+    ws = _WS.split((text or "").strip().lower())
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _decontam_clean_py(
+    docs: list[tuple[int, str]], bench_texts: list[str], n: int
+) -> list[tuple[int, str]]:
+    """Mirror of decontam.decontaminate + left_anti: keep docs sharing
+    NO word n-gram with the benchmark set."""
+    bench: set = set()
+    for t in bench_texts:
+        bench |= _grams_py(t, n)
+    return [(i, t) for i, t in docs if not (_grams_py(t, n) & bench)]
 
 
 def _norm_fp_py(text: str) -> str:
@@ -228,6 +296,9 @@ def prepare_corpus_py(
     max_words: Optional[int] = None,
     threshold: float = 0.5,
     n: int = 2,
+    repetition_filter: bool = False,
+    bench_texts: Optional[list[str]] = None,
+    decontam_n: int = 3,
 ) -> list[dict]:
     """Single-process reference of ``prepare_corpus``: returns the
     packed rows as dicts with the same fields (pack ordering follows
@@ -236,6 +307,10 @@ def prepare_corpus_py(
     weights = split_weights or DEFAULT_SPLITS
 
     quality = [(i, t) for i, t in docs if _quality_keep_py(t)]
+    if repetition_filter:
+        quality = [(i, t) for i, t in quality if _repetition_keep_py(t)]
+    if bench_texts is not None:
+        quality = _decontam_clean_py(quality, bench_texts, decontam_n)
     keep_ids = _dedup_keep_py(quality, threshold, n)
     kept = [(i, t) for i, t in quality if i in keep_ids]
     split_of = {i: _split_of_py(i, weights) for i, _ in kept}

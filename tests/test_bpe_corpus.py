@@ -234,3 +234,45 @@ def test_prepare_corpus_max_words_cap_matches_twin(spark, sf_dir):
     c = {"b": 2, "a": 2, "c": 3, "d": 1}
     assert cap_word_counts(c, 2) == {"c": 3, "a": 2}
     assert cap_word_counts(c, None) is c
+
+
+def test_prepare_corpus_hygiene_stages_match_twin(spark, sf_dir):
+    """repetition_filter + decontamination stages: Spark job == twin
+    bit-for-bit, and each stage actually drops documents on this
+    corpus (non-vacuous flags)."""
+    from grokspark.operators.corpus import (
+        _decontam_clean_py,
+        _quality_keep_py,
+        _repetition_keep_py,
+        prepare_corpus,
+        prepare_corpus_py,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    py = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    bench_texts = [t for i, t in py if i % 50 == 0]
+    bench_df = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    train_df = docs.filter(F.col("doc_id") % 50 != 0)
+    train_py = [(i, t) for i, t in py if i % 50 != 0]
+
+    kw = dict(max_len=128, n_buckets=4, n_merges=40)
+    got = sorted(
+        (r["split"], r["bucket"], r["pack_id"], tuple(r["tokens"]))
+        for r in prepare_corpus(
+            train_df, repetition_filter=True, bench_df=bench_df, **kw
+        ).collect()
+    )
+    want = sorted(
+        (r["split"], r["bucket"], r["pack_id"], tuple(map(int, r["tokens"])))
+        for r in prepare_corpus_py(
+            train_py, repetition_filter=True, bench_texts=bench_texts, **kw
+        )
+    )
+    assert got == want and got
+
+    # each stage is non-vacuous on this corpus
+    q = [(i, t) for i, t in train_py if _quality_keep_py(t)]
+    rep = [(i, t) for i, t in q if _repetition_keep_py(t)]
+    assert 0 < len(rep) < len(q), (len(rep), len(q))
+    dec = _decontam_clean_py(rep, bench_texts, 3)
+    assert 0 < len(dec) < len(rep), (len(dec), len(rep))
