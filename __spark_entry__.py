@@ -264,6 +264,35 @@ def q_grok_apache_verb_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_grok_apache_verb_status_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME query on the JVM-native fast path (jvmgrok): detokenize
+    via code points, RLIKE match, regexp_extract fields — no Python
+    worker anywhere in the plan (plan-asserted in tests/test_jvmgrok).
+    Shares the Python kernel's oracle: per-line parity is test-pinned,
+    and every matched apache line carries verb+response (verified), so
+    the ''-for-non-participating delta never reaches the group keys."""
+    from grokspark.datagen import SOURCES
+    from grokspark.jvmgrok import detokenize_col, jvm_field_col, jvm_match_col
+
+    from grokspark import GrokRegistry
+
+    compiled = GrokRegistry.with_default_patterns().compile(
+        SOURCES["apache_access"][2], with_alias_only=True
+    )
+    lines = (
+        _grok_seq_df(spark)
+        .filter(F.col("source") == "apache_access")
+        .withColumn("line", detokenize_col(F.col("tokens")))
+        .filter(jvm_match_col(compiled, F.col("line")))
+    )
+    return lines.groupBy(
+        jvm_field_col(compiled, F.col("line"), "verb").alias("verb"),
+        jvm_field_col(compiled, F.col("line"), "response")
+        .cast("long")
+        .alias("response"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_grok_elb_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extracts (:int tags) aggregated per backend port."""
     from grokspark import GrokRegistry
@@ -1410,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_route_counts_sf": q_grok_route_counts_sf,
         "grok_unroutable": q_grok_unroutable,
         "grok_apache_verb_status": q_grok_apache_verb_status,
+        "grok_apache_verb_status_jvm": q_grok_apache_verb_status_jvm,
         "grok_elb_backend": q_grok_elb_backend,
         "grok_bacula_summary": q_grok_bacula_summary,
         # relational operators
@@ -2084,4 +2114,7 @@ def oracle_sql() -> dict[str, str]:
     # and ranking (see q_knn_join_blocked's docstring for the FP-margin
     # argument)
     out["knn_join_blocked"] = out["knn_join"]
+    # the JVM fast path shares the Python kernel's oracle (per-line
+    # parity test-pinned; see q_grok_apache_verb_status_jvm)
+    out["grok_apache_verb_status_jvm"] = out["grok_apache_verb_status"]
     return out

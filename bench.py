@@ -170,12 +170,53 @@ def run_bench(
 
         return sample
 
+    # --- JVM fast path vs Arrow kernel, identical query ----------------
+    from pyspark.sql import functions as F
+
+    from grokspark import GrokRegistry
+    from grokspark.datagen import SOURCES
+    from grokspark.jvmgrok import detokenize_col, jvm_field_col, jvm_match_col
+    from grokspark.udfs import grok_parse_map_udf
+
+    apache = GrokRegistry.with_default_patterns().compile(
+        SOURCES["apache_access"][2], with_alias_only=True
+    )
+
+    def apache_arrow():
+        parse = grok_parse_map_udf(apache, from_tokens=True)
+        (
+            spark.read.parquet(seq_path)
+            .filter(F.col("source") == "apache_access")
+            .withColumn("fields", parse(F.col("tokens")))
+            .filter(F.col("fields").isNotNull())
+            .groupBy(F.element_at("fields", "verb").alias("verb"))
+            .count()
+            .collect()
+        )
+
+    def apache_jvm():
+        lines = (
+            spark.read.parquet(seq_path)
+            .filter(F.col("source") == "apache_access")
+            .withColumn("line", detokenize_col(F.col("tokens")))
+            .filter(jvm_match_col(apache, F.col("line")))
+        )
+        (
+            lines.groupBy(
+                jvm_field_col(apache, F.col("line"), "verb").alias("verb")
+            )
+            .count()
+            .collect()
+        )
+
     # every query, one sample per round, minimum across rounds; the
     # headline gets a third round. Interleaved so a box-noise window
     # can poison at most one of each query's attempts (see
     # round_robin_best / VERDICT r4 #1).
     items: list[tuple[str, object, int]] = [
         ("parse_route", lambda: time_once(parse_route), 3),
+        ("parse_apache_arrow", lambda: time_once(apache_arrow), 2),
+        ("parse_apache_jvm", lambda: time_once(apache_jvm), 2),
         ("pipeline_sinks", lambda: pipe_sample(parse_partitions=cpus, single_pass=True), 2),
         # ranged mode: unit = input file-range — one total scan +
         # per-range resume + observe-based counts (the 10^12-scale
