@@ -16,6 +16,7 @@ insertion order over sorted file names.
 
 from __future__ import annotations
 
+from importlib import resources
 from pathlib import Path
 
 __all__ = ["default_patterns", "pattern_files", "patterns_by_file"]
@@ -24,13 +25,35 @@ _PATTERN_DIR = Path(__file__).resolve().parent
 
 
 def pattern_files() -> list[Path]:
-    """The vendored pattern data files, sorted by name."""
+    """The vendored pattern data files as filesystem paths, sorted by
+    name (empty when the package runs from a ``--py-files`` zip — use
+    ``patterns_by_file``/``default_patterns``, which are zip-safe)."""
     return sorted(_PATTERN_DIR.glob("*.pattern"))
 
 
-def _parse_file(path: Path) -> dict[str, str]:
+def _iter_pattern_texts() -> list[tuple[str, str]]:
+    """(file_stem, text) for every vendored data file, via
+    importlib.resources so it works both from a checkout AND from the
+    ``spark-submit --py-files`` zip (plain ``Path.glob`` silently finds
+    NOTHING inside a zip — the registry shipped empty to clusters
+    until the submit smoke test caught it)."""
+    suffix = ".pattern"
+    out = [
+        (entry.name[: -len(suffix)], entry.read_text(encoding="utf-8"))
+        for entry in resources.files(__package__).iterdir()
+        if entry.name.endswith(suffix)
+    ]
+    if not out:
+        raise RuntimeError(
+            "no vendored .pattern data files found — the grokspark "
+            "package was deployed without its data files"
+        )
+    return sorted(out)
+
+
+def _parse_text(text: str) -> dict[str, str]:
     patterns: dict[str, str] = {}
-    for line in path.read_text(encoding="utf-8").splitlines():
+    for line in text.splitlines():
         if not line or line.startswith("#"):
             continue
         name, sep, body = line.partition(" ")
@@ -41,7 +64,7 @@ def _parse_file(path: Path) -> dict[str, str]:
 
 
 def _load() -> dict[str, dict[str, str]]:
-    return {path.stem: _parse_file(path) for path in pattern_files()}
+    return {stem: _parse_text(text) for stem, text in _iter_pattern_texts()}
 
 
 _BY_FILE: dict[str, dict[str, str]] | None = None
