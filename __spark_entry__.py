@@ -655,6 +655,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (daily-ingest shape): docs with
+    doc_id % 10 == 0 play the NEW batch, the rest the existing corpus;
+    every exact-verified cross pair at jaccard >= 0.5 comes back. The
+    corpus side never shuffles for candidates (new bands broadcast);
+    bands=64 keeps the exact-baseline recall argument, so the oracle
+    is plain cross-set exact Jaccard."""
+    from grokspark.operators import minhash_lsh_pairs_vs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_vs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        threshold=0.5,
+        n=2,
+        bands=64,
+    )
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup decision table a training pipeline materializes:
     exact collapse -> MinHash-LSH pairs over representatives ->
@@ -1465,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "simhash_pairs": q_simhash_pairs,
@@ -1877,6 +1897,26 @@ def _oracle_sql_base() -> dict[str, str]:
         # >= 1-1e-8, and the verify step is exact, so the output equals
         # the exact-Jaccard baseline — same oracle.
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "dedup_incremental": f"""
+            WITH d AS (
+              SELECT doc_id AS id, text, doc_id % 10 = 0 AS is_new
+              FROM documents
+            ), g AS (
+              SELECT id, is_new, {_BIGRAMS} AS grams FROM d
+            ), x AS (
+              SELECT id, is_new, len(grams) AS n, unnest(grams) AS gram FROM g
+            ), s AS (
+              SELECT a.id AS new_id, b.id AS corpus_id, a.n AS na,
+                     b.n AS nb, COUNT(*) AS shared
+              FROM x a JOIN x b ON a.gram = b.gram
+              WHERE a.is_new AND NOT b.is_new
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT new_id, corpus_id,
+                   CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+            FROM s
+            WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+        """,
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b

@@ -26,6 +26,7 @@ from grokspark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_vs,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_vs",
     "simhash_near_dup_pairs",
     "simhash_signatures",
     "embedding_cosine_pairs",

@@ -360,6 +360,95 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_vs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental near-dup: exact-verified pairs ``(new_id,
+    corpus_id, jaccard)`` between a NEW batch and an EXISTING corpus —
+    the daily-ingest dedup shape ("is anything in today's crawl a
+    near-duplicate of what we already have?"). Output excludes
+    identical ids (a re-ingested row is exact-dedup's job).
+
+    100-TB shape: the corpus is the big side and NEVER shuffles for
+    candidates — the new batch's band table (narrow: 24 bytes x bands
+    per doc) is **broadcast** against the corpus band table, and gram
+    arrays are re-derived only for the corpus docs that actually hit a
+    bucket (semi-join prune). In a deployed pipeline the corpus band
+    table is materialized once (bucketed by band hash) and reused
+    every batch; this function derives it from ``corpus_df`` with the
+    identical plan shape, so swapping in a pre-built table is a
+    one-line change at the call site.
+
+    Recall/precision contract matches ``minhash_lsh_pairs``: precision
+    exact (same array_intersect verify expression), recall set by the
+    band count."""
+    new_grams = _ensure_parallelism(new_df).select(
+        F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("ng", F.size("grams"))
+    if materialize:
+        new_grams = new_grams.localCheckpoint()
+    new_banded = _band_buckets_from_sig(
+        _signature_table_from_grams(new_grams, num_hashes), num_hashes, bands
+    )
+    corpus_banded = minhash_band_buckets(
+        corpus_df, n, num_hashes, bands, text_col, id_col
+    )
+    cands = (
+        corpus_banded.alias("c")
+        .join(
+            F.broadcast(new_banded.alias("nw")),
+            (F.col("c.band_id") == F.col("nw.band_id"))
+            & (F.col("c.band_hash") == F.col("nw.band_hash"))
+            & (F.col("c.id") != F.col("nw.id")),
+        )
+        .select(
+            F.col("nw.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if materialize:
+        cands = cands.localCheckpoint()
+    hit_grams = (
+        _ensure_parallelism(
+            corpus_df.join(
+                cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            ngrams(F.col(text_col), n).alias("grams_b"),
+        )
+        .withColumn("nb", F.size("grams_b"))
+    )
+    joined = cands.join(
+        F.broadcast(
+            new_grams.select(
+                F.col("id").alias("new_id"),
+                F.col("grams").alias("grams_a"),
+                F.col("ng").alias("na"),
+            )
+        ),
+        "new_id",
+    ).join(hit_grams, "corpus_id")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

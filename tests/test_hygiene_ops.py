@@ -242,3 +242,52 @@ def test_repetition_scores_null_text(spark):
         r["dup_word_ratio"], r["top_bigram"], r["top_bigram_cnt"],
         r["top_bigram_ratio"], r["repetition_keep"],
     ) == (0.0, "", 0, 0.0, 1)
+
+
+# -- incremental near-dup (new batch vs existing corpus) ---------------------
+
+
+def test_minhash_lsh_pairs_vs_equals_restricted_full_pairs(spark, sf_dir):
+    """The vs-variant's output must equal the full-corpus pair set
+    restricted to cross (new, corpus) pairs — same recall contract,
+    same exact verify, same jaccard values."""
+    from grokspark.operators import minhash_lsh_pairs, minhash_lsh_pairs_vs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_lsh_pairs_vs(
+            new, corpus, threshold=0.5, n=2, bands=64
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, threshold=0.5, n=2, bands=64).collect()
+    want = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 10 == 0) != (b % 10 == 0):  # exactly one side is new
+            nid, cid = (a, b) if a % 10 == 0 else (b, a)
+            want[(nid, cid)] = r["jaccard"]
+    assert got == want
+    assert got, "no cross pairs at sf0.001 — test corpus assumption broke"
+
+
+def test_minhash_lsh_pairs_vs_corpus_side_never_broadcast(spark, sf_dir):
+    """Plan shape: the NEW side is the broadcast build side; the corpus
+    band table streams. (If Spark ever flipped this, a 10^12-doc corpus
+    would be collected to the driver.)"""
+    from grokspark.operators import minhash_lsh_pairs_vs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs_vs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        threshold=0.5,
+        n=2,
+        bands=64,
+        materialize=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
