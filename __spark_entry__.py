@@ -1134,6 +1134,12 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len=CORPUS_MAX_LEN,
         n_buckets=CORPUS_BUCKETS,
         n_merges=CORPUS_MERGES,
+        # cross-job artifact reuse: the session's full-corpus pair
+        # graph (same threshold/n/bands) restricted to the quality
+        # reps equals recomputing over them — see dedup_corpus's
+        # precomputed_pairs contract. The bench clears this cache per
+        # sample so its corpus_prepare numbers stay full-build.
+        precomputed_pairs=_doc_pairs(spark, sf_dir),
     )
     return packed.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_packs"),

@@ -228,7 +228,7 @@ def run_bench(
             q_sample(
                 qs[name],
                 reset=entry._DOC_PAIRS_CACHE.clear
-                if name.startswith("dedup_")
+                if name.startswith("dedup_") or name == "corpus_prepare"
                 else None,
             ),
             2,

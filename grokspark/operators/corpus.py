@@ -78,6 +78,7 @@ def prepare_corpus(
     repetition_filter: bool = False,
     bench_df: Optional[DataFrame] = None,
     decontam_n: int = 3,
+    precomputed_pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Quality-filter, dedup, split, BPE-tokenize and pack a raw
     ``(id, text)`` corpus into training rows (module doc has the full
@@ -92,7 +93,14 @@ def prepare_corpus(
     ``decontam_n``-gram with the benchmark table BEFORE dedup (the
     cheap filters shrink what LSH chews). Domain-mixture downsampling
     (``sampling.mixture_sample``) composes upstream of this job — the
-    packed output drops the group column, so mix first."""
+    packed output drops the group column, so mix first.
+
+    ``precomputed_pairs`` forwards to ``dedup_corpus``: a sibling
+    job's exact-recall pair graph over a SUPERSET of this corpus (same
+    threshold/n recall contract) skips the whole LSH stage — the
+    cross-job artifact-reuse pattern a real pipeline runs (compute the
+    pair graph once, share it between the dedup report and corpus
+    prep)."""
     from grokspark.operators.textops import repetition_scores
 
     weights = split_weights or DEFAULT_SPLITS
@@ -110,6 +118,7 @@ def prepare_corpus(
     decisions = dedup_corpus(
         quality, threshold=threshold, n=n, bands=bands,
         text_col=text_col, id_col=id_col,
+        precomputed_pairs=precomputed_pairs,
     )
     kept = quality.join(
         decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
