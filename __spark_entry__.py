@@ -1439,6 +1439,51 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feature_agg(extract_image_features(thumbs, fake=False))
 
 
+JPEG_N = 500  # oracle fabricates+decodes JPEGs at oracle_sql() build
+# time (pure Python); N sized to keep that under the <2 s budget
+
+
+@functools.lru_cache(maxsize=1)
+def _jpeg_oracle_rows() -> list[tuple]:
+    """Single-process reference: fabricate the same deterministic
+    baseline JPEGs (mixed 4:4:4 / 4:2:0, keyed off the id digest like
+    ``jpeg_payload_df``) and decode them with the same pure-Python
+    codec (grokspark/operators/jpeg.py)."""
+    import hashlib
+
+    from grokspark.datagen import iter_rows
+    from grokspark.operators.jpeg import fake_jpeg, jpeg_features
+
+    n = sum_w = sum_h = sum_luma = 0
+    sha1s: set[str] = set()
+    for r in iter_rows(JPEG_N):
+        text = bytes(r["tokens"]).decode("utf-8")
+        sub = hashlib.sha256(r["doc_id"].encode()).digest()[2] % 2 == 0
+        payload = fake_jpeg(r["doc_id"], text, subsample_420=sub)
+        feats = jpeg_features(payload)
+        n += 1
+        sum_w += feats["width"]
+        sum_h += feats["height"]
+        sum_luma += feats["luma_milli"]
+        sha1s.add(hashlib.sha1(payload).hexdigest())
+    return [("image", n, sum_w, sum_h, sum_luma, len(sha1s))]
+
+
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, distributed: deterministic JPEG
+    payloads (huffman-coded, mixed 4:4:4/4:2:0 subsampling) rendered
+    per row in mapInPandas and decoded with the pure-Python baseline
+    codec — Y-plane-exact luma stats. Oracle: the identical
+    fabricate+decode run single-process, as VALUES."""
+    from grokspark.operators.multimodal import (
+        extract_image_features,
+        jpeg_payload_df,
+    )
+
+    payloads = jpeg_payload_df(_grok_text_df(spark, JPEG_N))
+    return _feature_agg(extract_image_features(payloads, fake=False))
+
+
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: GSV1 video containers (PNG frames) parsed
     distributed, every 2nd frame kept (1->N fan-out inside
@@ -1517,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "video_frame_features": q_video_frame_features,
     }
 
@@ -2150,6 +2196,7 @@ def _oracle_sql_base() -> dict[str, str]:
             _audio_oracle_rows()["resampled"], _AUDIO_COLS
         ),
         "multimodal_resize": _values_sql(_resize_oracle_rows(), _MM_COLS),
+        "multimodal_jpeg": _values_sql(_jpeg_oracle_rows(), _MM_COLS),
         "video_frame_features": _values_sql(_video_oracle_rows(), _MM_COLS),
     }
 

@@ -226,7 +226,10 @@ def run_bench(
         (
             name,
             q_sample(
-                qs[name],
+                # the knn_join row runs the BLOCKED scoring path — the
+                # promoted default (r4 verdict item 5; fold path stays
+                # as the oracle/FP-parity twin, see similarity.knn_join)
+                qs["knn_join_blocked" if name == "knn_join" else name],
                 reset=entry._DOC_PAIRS_CACHE.clear
                 if name.startswith("dedup_") or name == "corpus_prepare"
                 else None,
@@ -547,34 +550,56 @@ def run_streaming_soak(cpus: int, n_rows: int = 200_000, n_files: int = 20) -> N
         md = [
             "# BENCH/STREAMING — soak characterization",
             "",
-            f"{n_rows:,} rows in {n_files} files, maxFilesPerTrigger=1 ->",
-            f"~{n_files} micro-batches per pass; local[{cpus}]. Pass 2",
-            "replays the identical corpus through the same checkpoint.",
-            "",
-            "rows/s here is micro-batch-overhead-dominated by design (one",
-            "file per trigger) and this box has multi-minute external noise",
-            "windows (up to 5x run-to-run — see BENCH/BASELINE.md); treat",
-            "throughput as indicative. The STATE metrics are the store's own",
-            "exact counters and are noise-free — they are the soak's claim.",
+            f"{n_rows:,} rows in {n_files} files; local[{cpus}]. Two",
+            "throughput configs: maxFilesPerTrigger=1 (micro-batch-",
+            "overhead-dominated by design — per-trigger cost floor) and",
+            f"maxFilesPerTrigger={n_files // 4} (realistic ~{n_rows // 4:,}-row",
+            "batches, best-of-3 fresh-checkpoint passes per the",
+            "BENCH/BASELINE.md noise discipline). The STATE metrics are",
+            "the store's own exact counters and are noise-free — they",
+            "are the soak's bounded-state claim.",
             "",
         ]
 
         # -- stream_route_sinks throughput --------------------------------
-        sink_out, sink_ckpt = work / "sinks_out", work / "sinks_ckpt"
-        t0 = time.monotonic()
-        q = stream_route_sinks(
-            read_sequence_stream(spark, str(in_dir), max_files_per_trigger=1),
-            str(sink_out),
-            str(sink_ckpt),
-        )
-        q.awaitTermination()
-        sink_sec = time.monotonic() - t0
-        n_written = spark.read.parquet(str(sink_out / "sinks")).count()
+        def sinks_pass(tag: str, mfpt: int) -> tuple[float, int]:
+            """One fresh-checkpoint end-to-end sinks run; returns
+            (seconds, routed rows written)."""
+            sink_out = work / f"sinks_out_{tag}"
+            sink_ckpt = work / f"sinks_ckpt_{tag}"
+            t0 = time.monotonic()
+            q = stream_route_sinks(
+                read_sequence_stream(
+                    spark, str(in_dir), max_files_per_trigger=mfpt
+                ),
+                str(sink_out),
+                str(sink_ckpt),
+            )
+            q.awaitTermination()
+            sec = time.monotonic() - t0
+            n_written = spark.read.parquet(str(sink_out / "sinks")).count()
+            shutil.rmtree(sink_out)
+            shutil.rmtree(sink_ckpt)
+            return sec, n_written
+
+        micro_sec, micro_written = sinks_pass("micro", 1)
+        real_mfpt = max(1, n_files // 4)
+        real_passes = [
+            sinks_pass(f"real{i}", real_mfpt)[0] for i in range(3)
+        ]
+        real_best = min(real_passes)
         md += [
             "## stream_route_sinks (parse -> enrich -> fan-out, idempotent per-batch publish)",
             "",
-            f"- pass 1: {sink_sec:.1f}s for {n_rows:,} rows -> "
-            f"**{n_rows / sink_sec:,.0f} rows/s** ({n_written:,} routed rows written)",
+            f"- maxFilesPerTrigger=1 ({n_files} micro-batches of"
+            f" {n_rows // n_files:,} rows): {micro_sec:.1f}s ->"
+            f" {n_rows / micro_sec:,.0f} rows/s"
+            f" ({micro_written:,} routed rows written) — per-trigger",
+            "  overhead floor, not a throughput claim",
+            f"- maxFilesPerTrigger={real_mfpt} (~4 batches of"
+            f" {n_rows // 4:,} rows), best of 3 fresh passes"
+            f" [{', '.join(f'{s:.1f}s' for s in real_passes)}]:"
+            f" {real_best:.1f}s -> **{n_rows / real_best:,.0f} rows/s**",
             "",
         ]
 

@@ -42,8 +42,6 @@ field->index map reuses the engine's resolution.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

@@ -2,10 +2,13 @@
 processed in Arrow batches via mapInPandas.
 
 PNG payloads get a REAL decode — the pure-stdlib zlib+struct codec in
-``grokspark.operators.png`` (width/height/integer-exact luma) — and
-WAV audio gets a REAL decode via the stdlib ``wave`` codec (see
-``grokspark.operators.audio``). Remaining formats (JPEG, compressed
-audio) need codecs this container lacks, so they go through a
+``grokspark.operators.png`` (width/height/integer-exact luma) —
+baseline JPEG payloads get a REAL decode via the pure-Python codec in
+``grokspark.operators.jpeg`` (huffman + IDCT; 4:4:4/4:2:2/4:2:0 +
+restart markers; progressive rejected loudly), and WAV audio gets a
+REAL decode via the stdlib ``wave`` codec (see
+``grokspark.operators.audio``). Remaining formats (compressed audio,
+non-GSV1 video) need codecs this container lacks, so they go through a
 clearly-marked deterministic fake (``fake=True``) or raise
 NotImplementedError; the distributed plumbing — schema, Arrow batch
 iteration, partition sizing, column pass-through — is identical for
@@ -24,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grokspark.operators.jpeg import JPEG_MAGIC, fake_jpeg, jpeg_features
 from grokspark.operators.png import (
     PNG_MAGIC,
     decode_video,
@@ -36,6 +40,7 @@ from grokspark.operators.png import (
 __all__ = [
     "decode_image",
     "extract_image_features",
+    "jpeg_payload_df",
     "payload_df_from_text",
     "png_payload_df",
     "resize_images",
@@ -53,19 +58,22 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload into (width, height, mean_luma,
     luma_milli).
 
-    PNG payloads (signature-detected) decode for real via the stdlib
-    codec. For other formats: ``fake=True`` produces deterministic
+    PNG and baseline-JPEG payloads (signature-detected) decode for
+    real via the pure-Python codecs (``png.py`` / ``jpeg.py``). For
+    other formats: ``fake=True`` produces deterministic
     pseudo-features from the bytes (stable across runs/processes) so
     the distributed plumbing stays testable end-to-end; ``fake=False``
-    raises NotImplementedError (JPEG etc. need codecs not present in
-    this container)."""
+    raises NotImplementedError (compressed-audio etc. need codecs not
+    present in this container)."""
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         return png_features(bytes(payload))
+    if payload[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+        return jpeg_features(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "only PNG decodes natively here; other image codecs are not "
-            "available in this environment — pass fake=True for a "
-            "deterministic pseudo-decode"
+            "only PNG and baseline JPEG decode natively here; other "
+            "image codecs are not available in this environment — pass "
+            "fake=True for a deterministic pseudo-decode"
         )
     digest = hashlib.sha1(payload).digest()
     width = 16 + digest[0] % 240
@@ -87,8 +95,9 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     Batches arrive as Arrow record batches (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch); each batch is decoded
-    in one Python call — the pattern a real codec plugs into. PNGs
-    always decode for real; ``fake`` only governs non-PNG payloads."""
+    in one Python call — the pattern a real codec plugs into. PNGs and
+    baseline JPEGs always decode for real; ``fake`` only governs
+    payloads in formats without a native codec here."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -226,6 +235,47 @@ def payload_df_from_text(df: DataFrame, text_col: str = "text", id_col: str = "d
             F.lit("application/octet-stream").alias("mime"),
             F.length(F.col(text_col)).cast("long").alias("n_bytes"),
         ).alias("meta"),
+    )
+
+
+def jpeg_payload_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-JPEG payload table from a text table — the
+    JPEG twin of ``png_payload_df``. Every other row (by a pure
+    function of the id digest, so partition-independent) is encoded
+    4:2:0 instead of 4:4:4, exercising both subsampling paths of the
+    decoder in the distributed gate."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                fake_jpeg(
+                    str(i),
+                    t if t is not None else "",
+                    subsample_420=hashlib.sha256(str(i).encode()).digest()[2] % 2 == 0,
+                )
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype(str).values,
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = df.select(id_col, text_col).mapInPandas(
+        render,
+        schema="item_id string, modality string, payload binary, mime string, n_bytes long",
+    )
+    return flat.select(
+        "item_id",
+        "modality",
+        "payload",
+        F.struct("mime", "n_bytes").alias("meta"),
     )
 
 

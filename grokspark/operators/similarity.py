@@ -350,7 +350,17 @@ def knn_join(
     ``recommended_n_planes``). Pass ``n_planes=None`` to auto-size
     from the corpus rowcount (costs one count() of the id column —
     noise next to the join); an explicit value is trusted as-is, no
-    extra scan — check it against ``recommended_n_planes`` yourself."""
+    extra scan — check it against ``recommended_n_planes`` yourself.
+
+    DEFAULT PATH: prefer ``knn_join_blocked`` for production scoring —
+    identical candidate rule and ranking, but each vector ships once
+    per probe instead of once per candidate (~100x less verify shuffle)
+    and scoring is one BLAS matmul per bucket slice (measured 10x cost
+    curvature 0.17 vs this fold path's 0.56). This fold formulation is
+    retained as the oracle twin: its per-pair ``zip_with`` double fold
+    is the FP-parity reference against DuckDB (rank-equality asserted
+    in tests/test_operators.py), the role ``_lsh_bucket_udf`` plays for
+    bucketing."""
     n_planes = _resolve_n_planes(
         df, n_planes, "knn_join", target_bucket_rows=max(64, 16 * k)
     )
