@@ -13,7 +13,8 @@ operators:
  -> BPE tokenize    (bpe.train_bpe on the TRAIN split only — the
                      leakage-safe convention: val/test must not shape
                      the vocab — then bpe.apply_bpe_ids corpus-wide)
- -> sequence pack   (packing.pack_sequences per split)
+ -> sequence pack   (one grouped pack over (split, bucket) — same
+                     per-group packing as packing.pack_sequences)
 
 Output: one packed training table ``(split, bucket, pack_id, n_docs,
 n_tok, doc_ids, tokens, n_truncated)`` — a pure function of the corpus
@@ -50,8 +51,9 @@ from grokspark.operators.bpe import (
 )
 from grokspark.operators.dedup import dedup_corpus
 from grokspark.operators.packing import (
+    _PACK_SCHEMA,
+    pack_bucket_col,
     pack_bucket_of,
-    pack_sequences,
     pack_sequences_py,
 )
 from grokspark.operators.sampling import hash_split, split_thresholds
@@ -104,6 +106,8 @@ def prepare_corpus(
     from grokspark.operators.textops import repetition_scores
 
     weights = split_weights or DEFAULT_SPLITS
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
 
     quality = quality_scores(df, text_col).filter(F.col("quality_keep") == 1)
     if repetition_filter:
@@ -115,6 +119,10 @@ def prepare_corpus(
 
         hits = decontaminate(quality, bench_df, decontam_n, text_col, id_col)
         quality = quality.join(hits, id_col, "left_anti")
+    # the filtered set feeds dedup (fingerprints + LSH input), the
+    # pair restriction, and the kept semi-join — materialize it once
+    # so the map-only filter chain isn't re-scanned per consumer
+    quality = quality.select(id_col, text_col).localCheckpoint()
     decisions = dedup_corpus(
         quality, threshold=threshold, n=n, bands=bands,
         text_col=text_col, id_col=id_col,
@@ -134,19 +142,42 @@ def prepare_corpus(
     vocab = bpe_vocab(counts, merges)
 
     tokenized = apply_bpe_ids(kept, merges, vocab, text_col, out_col="_tok")
-    packed = []
-    for label in weights:
-        packs = pack_sequences(
-            tokenized.filter(F.col("split") == label),
-            max_len=max_len,
-            n_buckets=n_buckets,
-            id_col=id_col,
-            tokens_col="_tok",
+    # ONE grouped pack over (split, bucket) instead of a per-split
+    # pack_sequences loop: packing is a per-(split, bucket)-group
+    # function either way (same rows, same greedy-by-id order, same
+    # pack_id = "<bucket>#<i>" numbering), so the output is
+    # bit-identical — but this runs one shuffle + one Arrow stage and
+    # executes the upstream BPE tokenize once, where the loop ran
+    # three filtered jobs that each re-tokenized the corpus
+    keyed = tokenized.select(
+        "split",
+        pack_bucket_col(id_col, n_buckets).alias("bucket"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col("_tok").alias("_tokens"),
+    )
+
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        split = pdf["split"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        packs = pack_sequences_py(zip(pdf["_id"], pdf["_tokens"]), max_len)
+        return pd.DataFrame(
+            {
+                "split": split,
+                "bucket": bucket,
+                "pack_id": [f"{bucket}#{i}" for i in range(len(packs))],
+                "n_docs": [p["n_docs"] for p in packs],
+                "n_tok": [p["n_tok"] for p in packs],
+                "doc_ids": [p["doc_ids"] for p in packs],
+                "tokens": [p["tokens"] for p in packs],
+                "n_truncated": [p["n_truncated"] for p in packs],
+            }
         )
-        packed.append(packs.withColumn("split", F.lit(label)))
-    out = packed[0]
-    for p in packed[1:]:
-        out = out.unionByName(p)
+
+    out = keyed.groupBy("split", "bucket").applyInPandas(
+        pack, schema="split string, " + _PACK_SCHEMA
+    )
     return out.select(
         "split", "bucket", "pack_id", "n_docs", "n_tok",
         "doc_ids", "tokens", "n_truncated",

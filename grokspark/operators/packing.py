@@ -42,6 +42,20 @@ def pack_bucket_of(doc_id: str, n_buckets: int) -> int:
     h = int(hashlib.md5(f"pack:{doc_id}".encode("utf-8")).hexdigest()[:12], 16)
     return h % n_buckets
 
+
+def pack_bucket_col(id_col: str, n_buckets: int) -> F.Column:
+    """The Spark-side bucket assignment as a Column (one md5, JVM-
+    side) — shared by ``pack_sequences`` and the composed corpus job
+    so the two can never drift from ``pack_bucket_of``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
 _PACK_SCHEMA = (
     "bucket int, pack_id string, n_docs int, n_tok int, "
     "doc_ids array<string>, tokens array<int>, n_truncated int"
@@ -100,15 +114,8 @@ def pack_sequences(
     for a given corpus regardless of partitioning (see module doc)."""
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("long")
     keyed = df.select(
-        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        pack_bucket_col(id_col, n_buckets).alias("bucket"),
         F.col(id_col).cast("string").alias("_id"),
         F.col(tokens_col).alias("_tokens"),
     )

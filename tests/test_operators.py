@@ -211,14 +211,22 @@ def test_duplicate_clusters_components(spark):
         ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p5", "p6"),
     ]                                         # 6-chain (diameter 5) -> p1
     df = spark.createDataFrame(pairs, "id_a string, id_b string")
-    got = {
-        r["id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
-    }
-    assert got == {
+    want = {
         "a": "a", "b": "a", "c": "a",
         "d": "d", "e": "d",
         "p1": "p1", "p2": "p1", "p3": "p1", "p4": "p1", "p5": "p1", "p6": "p1",
     }
+    # driver union-find fast path (default: small edge set)
+    got = {
+        r["id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    assert got == want
+    # distributed hash-min loop (forced): identical labels
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(df, driver_max_edges=None).collect()
+    }
+    assert dist == want
 
 
 def test_knn_join_matches_reference(spark, emb):
@@ -301,7 +309,9 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(8)]
     df = spark.createDataFrame(chain, "id_a string, id_b string")
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(df, max_iterations=2)
+        # force the distributed loop: the driver fast path is exact CC
+        # and has no convergence failure mode to test
+        duplicate_clusters(df, max_iterations=2, driver_max_edges=None)
 
 
 def test_n_planes_guard_and_autosizing(spark, emb):
