@@ -934,6 +934,61 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_CACHE: dict[str, tuple] = {}
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """Per-process cache of the count-trained bigram LM over the
+    documents table — lm_perplexity and lm_familiarity score with the
+    SAME model (same sharing rationale as ``_doc_pairs``). The tables
+    are localCheckpointed (tiny: Heaps-bounded key tables), so the hit
+    is valid only for the session that built it."""
+    from grokspark.operators.ngram_lm import train_bigram_lm
+
+    hit = _LM_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2], hit[3]
+    uni, bi = train_bigram_lm(_read(spark, sf_dir, "documents"))
+    uni = uni.localCheckpoint()
+    bi = bi.localCheckpoint()
+    v = uni.count()
+    _LM_CACHE[sf_dir] = (spark, uni, bi, v)
+    return uni, bi, v
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM cross-entropy (operators/ngram_lm.py):
+    add-one-smoothed LM count-trained on the FULL documents table (two
+    distributed aggregates), then a 1-in-7 doc sample scored via
+    broadcast joins. Comparison point is ``ce_micro`` (integer
+    micro-nats): the per-bigram probability is one exact-integer
+    division, and the quantization absorbs ln/sum-order ulps (noise
+    ~1e-12 vs a 5e-7 boundary)."""
+    from grokspark.operators.ngram_lm import perplexity_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    uni, bi, v = _lm_model(spark, sf_dir)
+    sample = docs.filter(F.col("doc_id") % 7 == 0)
+    return perplexity_scores(sample, uni, bi, vocab_size=v).select(
+        "doc_id", "n_bigrams", "ce_micro"
+    )
+
+
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental-free LM signal (operators/ngram_lm.py
+    familiarity_scores): mean corpus frequency of each sampled doc's
+    bigrams — integer sums plus ONE double division, bit-equal across
+    engines at any scale."""
+    from grokspark.operators.ngram_lm import familiarity_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    _uni, bi, _v = _lm_model(spark, sf_dir)
+    sample = docs.filter(F.col("doc_id") % 5 == 0)
+    return familiarity_scores(sample, bi).select(
+        "doc_id", "n_bigrams", "sum_cnt", "mean_cnt"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 stand in
     for the eval suite; every other doc sharing a word 3-gram with
@@ -1554,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_familiarity": q_lm_familiarity,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -2119,6 +2176,57 @@ def _oracle_sql_base() -> dict[str, str]:
                 '{_PII_IPV4}', '<IP>', 'g'),
                 '{_PII_PHONE}', '<PHONE>', 'g'), 1, 64) AS redacted_head
             FROM salted
+        """,
+        # bigram LM: counts + V recomputed in SQL; per-bigram prob is
+        # ONE exact-integer division, ln/sum ulps absorbed by the
+        # micro-nat quantization (operators/ngram_lm.py module doc)
+        "lm_perplexity": f"""
+            WITH d AS (
+              SELECT doc_id, {_LWORDS} AS ws
+              FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+            bg AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM d WHERE len(ws) >= 2),
+            uni AS (SELECT word AS w1, COUNT(*) AS cnt FROM w GROUP BY 1),
+            bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+            v AS (SELECT COUNT(*) + 1 AS v FROM uni),
+            scored AS (
+              SELECT g.doc_id,
+                ln(CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(u.cnt, 0) + v.v AS DOUBLE)) AS lp
+              FROM bg g
+              LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+              LEFT JOIN uni u ON g.w1 = u.w1
+              CROSS JOIN v
+              WHERE g.doc_id % 7 = 0)
+            SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(round((-SUM(lp)) / CAST(COUNT(*) AS DOUBLE)
+                         * 1000000.0) AS BIGINT) AS ce_micro
+            FROM scored GROUP BY doc_id
+        """,
+        "lm_familiarity": f"""
+            WITH d AS (
+              SELECT doc_id, {_LWORDS} AS ws
+              FROM documents WHERE text IS NOT NULL),
+            bg AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM d WHERE len(ws) >= 2),
+            bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+            SELECT g.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(COALESCE(b.cnt, 0)) AS BIGINT) AS sum_cnt,
+              CAST(SUM(COALESCE(b.cnt, 0)) AS BIGINT)::DOUBLE
+                / CAST(COUNT(*) AS BIGINT)::DOUBLE AS mean_cnt
+            FROM bg g
+            LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+            WHERE g.doc_id % 5 = 0
+            GROUP BY g.doc_id
         """,
         "decontaminate": f"""
             WITH w AS (

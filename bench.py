@@ -232,7 +232,9 @@ def run_bench(
                 qs["knn_join_blocked" if name == "knn_join" else name],
                 reset=entry._DOC_PAIRS_CACHE.clear
                 if name.startswith("dedup_") or name == "corpus_prepare"
-                else None,
+                else (
+                    entry._LM_CACHE.clear if name.startswith("lm_") else None
+                ),
             ),
             2,
         )
@@ -253,6 +255,7 @@ def run_bench(
             "corpus_prepare",
             "repetition",
             "redact_pii",
+            "lm_perplexity",
             "decontaminate",
             "mixture_sample",
         ]

@@ -58,6 +58,12 @@ from grokspark.operators.decontam import (
     decontaminate,
     decontaminate_corpus,
 )
+from grokspark.operators.ngram_lm import (
+    familiarity_scores,
+    lm_filter,
+    perplexity_scores,
+    train_bigram_lm,
+)
 from grokspark.operators.textops import (
     fingerprint,
     lang_id,
@@ -97,6 +103,10 @@ __all__ = [
     "fingerprint",
     "repetition_scores",
     "redact_pii",
+    "train_bigram_lm",
+    "perplexity_scores",
+    "familiarity_scores",
+    "lm_filter",
     "benchmark_grams",
     "decontaminate",
     "decontaminate_corpus",

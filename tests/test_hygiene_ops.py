@@ -291,3 +291,86 @@ def test_minhash_lsh_pairs_vs_corpus_side_never_broadcast(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (ngram_lm.py)
+# ---------------------------------------------------------------------------
+
+LM_DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the mat"),          # exact dup: most familiar
+    (2, "zq xv qq zz plutonium afterglow"), # rare sequences: high ce
+    (3, "the cat"),                         # exactly one bigram
+    (4, "word"),                            # 1 word: no score row
+    (5, ""),                                # empty: no score row
+    (6, None),                              # NULL text: excluded
+    (7, "THE CAT SAT ON THE MAT"),          # lowercased == doc 0
+    (8, "the cat sat"),                # U+00A0 is NOT Java \s -> one word "the\xa0cat"
+]
+
+
+def test_bigram_lm_matches_python_twin(spark):
+    from grokspark.operators.ngram_lm import (
+        perplexity_scores,
+        perplexity_scores_py,
+        train_bigram_lm,
+        train_bigram_lm_py,
+    )
+
+    df = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    uni, bi = train_bigram_lm(df)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ce_micro"])
+        for r in perplexity_scores(df, uni, bi).collect()
+    }
+    u2, b2 = train_bigram_lm_py([t for _, t in LM_DOCS])
+    want = {
+        r[0]: (r[1], r[2]) for r in perplexity_scores_py(LM_DOCS, u2, b2)
+    }
+    assert got == want
+    assert 4 not in got and 5 not in got and 6 not in got
+    # duplicates + case-folding agree; rare doc has strictly higher ce
+    assert got[0] == got[1] == got[7]
+    assert got[2][1] > got[0][1]
+    # ASCII-\s parity: Spark and the twin must agree on the U+00A0 doc
+    assert got[8] == want[8] and want[8][0] == 1  # "the\xa0cat sat" -> 1 bigram
+
+
+def test_bigram_lm_caps_are_deterministic_and_familiarity(spark):
+    from grokspark.operators.ngram_lm import (
+        familiarity_scores,
+        lm_filter,
+        train_bigram_lm,
+        train_bigram_lm_py,
+    )
+
+    df = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+    uni, bi = train_bigram_lm(df, max_vocab=5, max_bigrams=4)
+    u2, b2 = train_bigram_lm_py(
+        [t for _, t in LM_DOCS], max_vocab=5, max_bigrams=4
+    )
+    assert {(r["w1"], r["cnt"]) for r in uni.collect()} == set(u2.items())
+    assert {
+        ((r["w1"], r["w2"]), r["cnt"]) for r in bi.collect()
+    } == set(b2.items())
+
+    uni_f, bi_f = train_bigram_lm(df)
+    fam = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_cnt"])
+        for r in familiarity_scores(df, bi_f).collect()
+    }
+    # doc 0: each of its 5 bigrams appears 3x (docs 0, 1, 7), plus
+    # doc 3 adds one more ("the", "cat") -> 5*3 + 1 = 16
+    assert fam[0] == (5, 16)
+    assert fam[2] == (5, 5)  # doc 2's bigrams are unique to it
+
+    from grokspark.operators.ngram_lm import perplexity_scores
+
+    scores = perplexity_scores(df, uni_f, bi_f)
+    cut = sorted(r["ce_micro"] for r in scores.collect())[2]
+    kept = lm_filter(df, scores, cut)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 2 not in ids            # the rare-sequence doc is dropped
+    assert {0, 1, 7} <= ids        # familiar dups survive
+    assert 4 not in ids and 5 not in ids  # unscored docs drop (CCNet prefilter)
