@@ -989,6 +989,57 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_oracle_rows(sf_dir: str) -> list[tuple]:
+    """Pure-Python exact-substring removal over the sf dir's documents
+    parquet (spandedup twin): ``(doc_id, n_spans, n_removed_chars,
+    md5(clean_text))`` for every affected doc — the VALUES oracle for
+    span_dedup. ~0.2 s at the gate corpus."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from grokspark.operators.spandedup import (
+        duplicate_spans_py,
+        remove_spans_py,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    spans = duplicate_spans_py(rows, min_len=40)
+    text_by_id = dict(rows)
+    out = []
+    for did, ivs in sorted(spans.items()):
+        clean = remove_spans_py(text_by_id[did], ivs)
+        out.append(
+            (
+                did,
+                len(ivs),
+                sum(e - s for s, e in ivs),
+                hashlib.md5(clean.encode("utf-8")).hexdigest(),
+            )
+        )
+    return out
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (operators/spandedup.py,
+    Lee et al. 2022): every >= 40-char span occurring twice in the
+    corpus keeps only its globally-first occurrence. Output: the
+    affected docs with span counts and an md5 of the cleaned text
+    (both engines hash the same UTF-8 bytes). Oracle: the pure-Python
+    twin over the same parquet, as VALUES."""
+    from grokspark.operators.spandedup import span_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = span_dedup(docs, min_len=40)
+    return out.filter(F.col("n_spans") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_removed_chars",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 stand in
     for the eval suite; every other doc sharing a word 3-gram with
@@ -1611,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "lm_perplexity": q_lm_perplexity,
         "lm_familiarity": q_lm_familiarity,
+        "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -2264,6 +2316,17 @@ def _oracle_sql_base() -> dict[str, str]:
                 os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
             )["pairs"],
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_shared", "BIGINT")],
+        ),
+        "span_dedup": _values_sql(
+            _span_oracle_rows(
+                os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+            ),
+            [
+                ("doc_id", "BIGINT"),
+                ("n_spans", "BIGINT"),
+                ("n_removed_chars", "BIGINT"),
+                ("clean_md5", "VARCHAR"),
+            ],
         ),
         "bpe_tokenize": _values_sql(
             _bpe_oracle_rows(os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)),

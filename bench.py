@@ -256,6 +256,7 @@ def run_bench(
             "repetition",
             "redact_pii",
             "lm_perplexity",
+            "span_dedup",
             "decontaminate",
             "mixture_sample",
         ]

@@ -64,6 +64,11 @@ from grokspark.operators.ngram_lm import (
     perplexity_scores,
     train_bigram_lm,
 )
+from grokspark.operators.spandedup import (
+    duplicate_spans,
+    remove_spans,
+    span_dedup,
+)
 from grokspark.operators.textops import (
     fingerprint,
     lang_id,
@@ -107,6 +112,9 @@ __all__ = [
     "perplexity_scores",
     "familiarity_scores",
     "lm_filter",
+    "duplicate_spans",
+    "remove_spans",
+    "span_dedup",
     "benchmark_grams",
     "decontaminate",
     "decontaminate_corpus",

@@ -374,3 +374,88 @@ def test_bigram_lm_caps_are_deterministic_and_familiarity(spark):
     assert 2 not in ids            # the rare-sequence doc is dropped
     assert {0, 1, 7} <= ids        # familiar dups survive
     assert 4 not in ids and 5 not in ids  # unscored docs drop (CCNet prefilter)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring removal (spandedup.py)
+# ---------------------------------------------------------------------------
+
+BOILER = "This document is provided under the standard license terms v2."
+SPAN_DOCS = [
+    (0, "alpha beta " + BOILER + " unique tail zero"),
+    (1, "gamma delta " + BOILER + " unique tail one"),
+    (2, BOILER),                    # the whole doc is the shared span
+    (3, "no duplicated content here at all, nothing shared whatsoever."),
+    (4, "xy" * 60),                 # periodic: within-doc self-repeats
+    (5, None),
+    (6, "short"),                   # below min_len: no windows
+]
+
+
+def test_span_dedup_matches_python_twin(spark):
+    from grokspark.operators.spandedup import (
+        duplicate_spans,
+        duplicate_spans_py,
+        remove_spans_py,
+        span_dedup,
+    )
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    L = 20
+    got: dict = {}
+    for r in duplicate_spans(df, min_len=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    want = duplicate_spans_py(SPAN_DOCS, min_len=L)
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+    # canonical-first policy: doc 0 (smallest id) keeps everything
+    assert 0 not in want and 1 in want and 2 in want
+    # maximal extension: doc 1's span covers "ta " + BOILER +
+    # " unique tail " (shared with doc 0 beyond the boilerplate)
+    (s, e), = want[1]
+    assert SPAN_DOCS[1][1][s:e] == "ta " + BOILER + " unique tail "
+    # periodic doc: one merged interval, 2-char remainder
+    assert len(want[4]) == 1
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_spans"], r["n_removed_chars"])
+        for r in span_dedup(df, min_len=L).collect()
+    }
+    for d, t in SPAN_DOCS:
+        ivs = want.get(d, [])
+        exp = remove_spans_py(t, ivs) if t is not None else None
+        assert out[d][0] == exp, (d, out[d][0], exp)
+        assert out[d][1] == len(ivs)
+        assert out[d][2] == sum(e - s for s, e in ivs)
+    # whole-doc span: doc 2 cleans to empty, untouched docs unchanged
+    assert out[2][0] == ""
+    assert out[3] == (SPAN_DOCS[3][1], 0, 0)
+
+
+def test_span_dedup_no_duplicates_is_identity(spark):
+    from grokspark.operators.spandedup import duplicate_spans, span_dedup
+
+    # genuinely distinct: every doc is its own md5-derived string (a
+    # shared TEMPLATE with one varying digit would rightly be found,
+    # and periodic generators create within-doc repeats)
+    import hashlib
+
+    docs = [
+        (
+            i,
+            "".join(
+                chr(97 + hashlib.md5(f"{i}:{j}".encode()).digest()[0] % 26)
+                for j in range(80)
+            ),
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert duplicate_spans(df, min_len=30).count() == 0
+    out = {r["doc_id"]: r["text"] for r in span_dedup(df, min_len=30).collect()}
+    assert out == dict(docs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_len"):
+        duplicate_spans(df, min_len=0)
