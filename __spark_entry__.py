@@ -989,6 +989,41 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    ("q1", "hash join order"),
+    ("q2", "fast scan filter table"),
+    ("q3", "vector window group batch"),
+]
+
+# repr() of the Python doubles Spark's F.lit carries — the SQL parses
+# these shortest-round-trip strings back to the IDENTICAL doubles
+from grokspark.operators.retrieval import B as _BM25_B_F  # noqa: E402
+from grokspark.operators.retrieval import K1 as _BM25_K1_F  # noqa: E402
+
+_BM25_K1 = repr(_BM25_K1_F)
+_BM25_K1P1 = repr(_BM25_K1_F + 1.0)
+_BM25_OMB = repr(1.0 - _BM25_B_F)
+_BM25_B = repr(_BM25_B_F)
+_BM25_VALUES = ", ".join(
+    "(" + repr(qid) + ", " + repr(qt) + ")" for qid, qt in _BM25_QUERIES
+)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/retrieval.py) for three fixed
+    literal queries over the documents table. Every score input is an
+    exact integer or an exactly-representable literal; the oracle SQL
+    mirrors the IEEE op order, and the integer micro-unit score
+    absorbs ln/sum-order ulps."""
+    from grokspark.operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, text string")
+    return bm25_topk(docs, queries, k=10).select(
+        "query_id", "rank", "doc_id", "score_micro"
+    )
+
+
 def _span_oracle_rows(sf_dir: str) -> list[tuple]:
     """Pure-Python exact-substring removal over the sf dir's documents
     parquet (spandedup twin): ``(doc_id, n_spans, n_removed_chars,
@@ -1663,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_familiarity": q_lm_familiarity,
         "span_dedup": q_span_dedup,
+        "bm25_topk": q_bm25_topk,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -2317,6 +2353,60 @@ def _oracle_sql_base() -> dict[str, str]:
             )["pairs"],
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("n_shared", "BIGINT")],
         ),
+        # BM25: k1/b/derived literals embedded via repr() so the SQL
+        # parses the IDENTICAL doubles Spark's F.lit carries; avgdl is
+        # the same single division on both sides
+        "bm25_topk": f"""
+            WITH d AS (
+              SELECT doc_id, {_LWORDS} AS ws
+              FROM documents WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                     unnest(ws) AS term
+              FROM d),
+            post AS (
+              SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2, 3),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(len(ws)) AS BIGINT) AS sumdl
+              FROM d),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS dft
+              FROM post GROUP BY 1),
+            q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+            qt AS (
+              SELECT query_id,
+                     unnest(list_distinct(
+                       string_split_regex(lower(trim(qtext)), '\\s+')
+                     )) AS term
+              FROM q),
+            scored AS (
+              SELECT qt.query_id, p.doc_id,
+                SUM(
+                  ln(1.0 + (CAST(s.n - f.dft AS DOUBLE) + 0.5)
+                           / (CAST(f.dft AS DOUBLE) + 0.5))
+                  * (CAST(p.tf AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(p.tf AS DOUBLE)
+                     + {_BM25_K1} * ({_BM25_OMB}
+                                     + ({_BM25_B} * CAST(p.dl AS DOUBLE))
+                                     / (CAST(s.sumdl AS DOUBLE)
+                                        / CAST(s.n AS DOUBLE))))
+                ) AS score
+              FROM post p
+              JOIN qt ON p.term = qt.term
+              JOIN dfreq f ON p.term = f.term
+              CROSS JOIN stats s
+              GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, score_micro FROM (
+              SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                ) AS rank,
+                CAST(round(score * 1000000.0) AS BIGINT) AS score_micro
+              FROM scored) t
+            WHERE rank <= 10
+        """,
         "span_dedup": _values_sql(
             _span_oracle_rows(
                 os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)

@@ -459,3 +459,54 @@ def test_span_dedup_no_duplicates_is_identity(spark):
 
     with _pytest.raises(ValueError, match="min_len"):
         duplicate_spans(df, min_len=0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (retrieval.py)
+# ---------------------------------------------------------------------------
+
+BM25_DOCS = [
+    (0, "spark shuffle join hash join broadcast"),
+    (1, "hash table scan hash hash probe"),
+    (2, "sort merge join large table"),
+    (3, "window aggregate group"),
+    (4, "join"),                        # short doc, high tf weight
+    (5, None),
+    (6, ""),
+]
+BM25_QUERIES = [("qa", "hash join"), ("qb", "window"), ("qc", "absent term")]
+
+
+def test_bm25_matches_python_twin(spark):
+    from grokspark.operators.retrieval import bm25_topk, bm25_topk_py
+
+    df = spark.createDataFrame(BM25_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+        for r in bm25_topk(df, qs, k=3).collect()
+    )
+    want = sorted(bm25_topk_py(BM25_DOCS, BM25_QUERIES, k=3))
+    assert got == want
+    # qc has no matching docs at all
+    assert not any(q == "qc" for q, *_ in got)
+    # qb: only doc 3 contains "window"
+    qb = [t for t in got if t[0] == "qb"]
+    assert len(qb) == 1 and qb[0][2] == 3
+
+
+def test_bm25_max_df_prune_and_broadcast_plan(spark):
+    from grokspark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(BM25_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    out = bm25_topk(df, qs, k=3, max_df_ratio=0.4)
+    # "join" appears in 3/5 non-null docs (60% > 40%) -> pruned; "hash"
+    # survives (2/5), so qa ranks only by "hash"
+    qa = sorted(
+        (r["rank"], r["doc_id"]) for r in out.filter(F.col("query_id") == "qa").collect()
+    )
+    assert [d for _, d in qa] == [1, 0]  # hash-heavy doc 1 first
+    # probe side is broadcast: the postings never shuffle for the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
