@@ -259,6 +259,7 @@ def run_bench(
             "span_dedup",
             "decontaminate",
             "mixture_sample",
+            "bm25_topk",
         ]
     ]
     best = round_robin_best(items)
@@ -383,6 +384,7 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
         prepare_corpus,
         winnow_pairs,
     )
+    from grokspark.operators.retrieval import bm25_topk
     from grokspark.operators.similarity import knn_join_blocked, recommended_n_planes
     from grokspark.session import get_spark
 
@@ -431,6 +433,22 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
             "corpus_prepare",
             lambda f: _mutated_docs_keep_quality(spark, sf_dir, f),
             lambda df: prepare_corpus(df, max_len=256, n_buckets=32, n_merges=120),
+        ),
+        (
+            # postings volume grows linearly with the corpus while the
+            # probe side (3 queries) is fixed — the inverted-index
+            # promise is that query cost tracks posting-list length,
+            # not corpus size; curvature checks the postings build
+            "bm25_topk",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: bm25_topk(
+                df,
+                spark.createDataFrame(
+                    [("q1", "hash join order"), ("q2", "fast scan filter table")],
+                    "query_id string, text string",
+                ),
+                k=10,
+            ),
         ),
         (
             # benchmark side grows with the corpus (same %50 rule the
