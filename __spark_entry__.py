@@ -1024,6 +1024,111 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_page_col(text, did):
+    """Deterministic multi-line "web page" fabricated from the flat
+    documents text (which has no newlines or punctuation): 7-word
+    lines; ~3/4 of lines end in a period; every line where
+    ``(doc_id + 31*i) % 11 == 0`` gets a "JavaScript" marker; every
+    17th doc a "lorem ipsum" line; every 19th doc a curly-brace line
+    — so every C4 rule fires on the gate corpus.  ``_c4_page_py`` is
+    the character-exact twin."""
+    ws = F.split(F.trim(text), r"\s+")
+    n = F.size(ws)
+    nl = F.floor((n + F.lit(6)) / F.lit(7)).cast("int")
+
+    def line(i):
+        j = i - 1  # 0-based line index for the modular tags
+        base = F.array_join(F.slice(ws, j * 7 + 1, 7), " ")
+        base = F.when(
+            F.pmod(did + F.lit(31) * j, 11) == 0,
+            F.concat(base, F.lit(" embedded JavaScript snippet")),
+        ).otherwise(base)
+        return F.when(
+            F.pmod(did + j, 4) != 3, F.concat(base, F.lit("."))
+        ).otherwise(base)
+
+    page = F.array_join(F.transform(F.sequence(F.lit(1), nl), line), "\n")
+    page = F.when(
+        F.pmod(did, 17) == 0,
+        F.concat(page, F.lit("\nlorem ipsum dolor sit amet obscura.")),
+    ).otherwise(page)
+    page = F.when(
+        F.pmod(did, 19) == 0,
+        F.concat(page, F.lit("\nsee the { config } block for details.")),
+    ).otherwise(page)
+    return F.when(text.isNull(), text).otherwise(page)
+
+
+def _c4_page_py(did: int, text):
+    """Pure-Python twin of `_c4_page_col` (same split, same tags)."""
+    if text is None:
+        return None
+    from grokspark.operators.clean import _WS_ASCII
+
+    ws = _WS_ASCII.split(text.strip())
+    nl = (len(ws) + 6) // 7
+    lines = []
+    for i in range(nl):
+        base = " ".join(ws[i * 7 : (i + 1) * 7])
+        if (did + 31 * i) % 11 == 0:
+            base += " embedded JavaScript snippet"
+        if (did + i) % 4 != 3:
+            base += "."
+        lines.append(base)
+    page = "\n".join(lines)
+    if did % 17 == 0:
+        page += "\nlorem ipsum dolor sit amet obscura."
+    if did % 19 == 0:
+        page += "\nsee the { config } block for details."
+    return page
+
+
+def _c4_oracle_rows(sf_dir: str) -> list[tuple]:
+    """Pure-Python C4 cleaning over fabricated pages from the sf dir's
+    documents parquet: ``(doc_id, n_lines_in, n_lines_kept,
+    n_sentences, kept, md5(text_clean))``.  <0.1 s at gate scale."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from grokspark.operators.clean import c4_clean_py
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = [
+        (did, _c4_page_py(did, tx))
+        for did, tx in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    ]
+    return [
+        (did, nin, nkept, nsent, kept,
+         hashlib.md5(clean.encode("utf-8")).hexdigest())
+        for did, clean, nin, nkept, nsent, kept in c4_clean_py(rows)
+    ]
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/clean.py) over
+    deterministic multi-line pages fabricated from the documents
+    table (`_c4_page_col`).  Map-only: every rule is a scan-fused
+    built-in.  Oracle: the pure-Python twin over the same parquet, as
+    VALUES."""
+    from grokspark.operators.clean import c4_clean
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _c4_page_col(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    return c4_clean(pages).select(
+        "doc_id",
+        "n_lines_in",
+        "n_lines_kept",
+        "n_sentences",
+        "kept",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
 def _span_oracle_rows(sf_dir: str) -> list[tuple]:
     """Pure-Python exact-substring removal over the sf dir's documents
     parquet (spandedup twin): ``(doc_id, n_spans, n_removed_chars,
@@ -1698,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_familiarity": q_lm_familiarity,
         "span_dedup": q_span_dedup,
+        "c4_clean": q_c4_clean,
         "bm25_topk": q_bm25_topk,
         "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
@@ -2407,6 +2513,19 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM scored) t
             WHERE rank <= 10
         """,
+        "c4_clean": _values_sql(
+            _c4_oracle_rows(
+                os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+            ),
+            [
+                ("doc_id", "BIGINT"),
+                ("n_lines_in", "BIGINT"),
+                ("n_lines_kept", "BIGINT"),
+                ("n_sentences", "BIGINT"),
+                ("kept", "BOOLEAN"),
+                ("clean_md5", "VARCHAR"),
+            ],
+        ),
         "span_dedup": _values_sql(
             _span_oracle_rows(
                 os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)

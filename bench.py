@@ -260,6 +260,7 @@ def run_bench(
             "decontaminate",
             "mixture_sample",
             "bm25_topk",
+            "c4_clean",
         ]
     ]
     best = round_robin_best(items)

@@ -510,3 +510,103 @@ def test_bm25_max_df_prune_and_broadcast_plan(spark):
     # probe side is broadcast: the postings never shuffle for the join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (clean.py)
+# ---------------------------------------------------------------------------
+
+C4_DOCS = [
+    (
+        0,
+        "The quick brown fox jumps over the dog.\n"
+        "short line.\n"
+        "This line has no terminal punctuation at all\n"
+        "Another perfectly fine sentence with enough words here!\n"
+        "This mentions JavaScript badly but is long enough.\n"
+        "A third proper sentence closes out the page today?",
+    ),
+    (
+        1,
+        'He said "this quoted line has plenty of words."\n'
+        "Only two sentences appear in this document sadly.\n"
+        "no punct line with many words here sadly",
+    ),
+    (
+        2,
+        "This page contains Lorem Ipsum somewhere in text.\n"
+        "A second proper sentence with enough words here.\n"
+        "A third proper sentence with enough words too.",
+    ),
+    (
+        3,
+        "This page has a { curly brace marker } inside.\n"
+        "A second proper sentence with enough words here.\n"
+        "A third proper sentence with enough words too.",
+    ),
+    (4, None),
+    (5, ""),
+    (6, "One. Two! Three? All in a single line with words."),
+]
+
+
+def test_c4_clean_matches_python_twin(spark):
+    from grokspark.operators.clean import c4_clean, c4_clean_py
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = sorted(
+        (
+            r["doc_id"],
+            r["text_clean"],
+            r["n_lines_in"],
+            r["n_lines_kept"],
+            r["n_sentences"],
+            r["kept"],
+        )
+        for r in c4_clean(df).collect()
+    )
+    want = sorted(c4_clean_py(C4_DOCS))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # doc 0: short line, no-punct line, and javascript line dropped
+    assert by_id[0][3] == 3 and by_id[0][5] is True
+    # doc 1: quote-terminated line kept, but only 2 sentences -> dropped
+    assert by_id[1][3] == 2 and by_id[1][5] is False
+    # docs 2/3: lorem-ipsum / curly-brace page drops (case-insensitive)
+    assert by_id[2][5] is False and by_id[3][5] is False
+    # NULL and empty text: zero counts, not kept
+    assert by_id[4] == (4, "", 0, 0, 0, False)
+    assert by_id[5][5] is False
+    # doc 6: one kept line, 4 terminal chars counted -> kept
+    assert by_id[6][3] == 1 and by_id[6][4] == 4 and by_id[6][5] is True
+
+
+def test_c4_clean_is_map_only(spark):
+    from grokspark.operators.clean import c4_clean
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_gate_fabrication_parity(spark):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (17, "one  two   three four five six seven eight"),
+        (19, "word " * 30),
+        (22, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["page"]
+        for r in df.select(
+            "doc_id",
+            entry._c4_page_col(F2.col("text"), F2.col("doc_id")).alias("page"),
+        ).collect()
+    }
+    for did, tx in rows:
+        assert got[did] == entry._c4_page_py(did, tx), did
