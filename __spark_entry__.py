@@ -594,6 +594,18 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_read(spark, sf_dir, "orders"), "o_custkey", k=KMV_K)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter words (two-pass Misra-Gries,
+    operators/sketches.py): terms above 3.3% of the token stream.
+    The sketch bounds per-partition state and pass-2 shuffle width;
+    the OUTPUT is exact, so the oracle is the plain full-groupBy SQL
+    with the same strict integer threshold."""
+    from grokspark.operators.sketches import heavy_hitter_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(docs, phi_ppm=33_000).select("term", "cnt")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import exact_dedup
 
@@ -1778,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
+        "heavy_hitters": q_heavy_hitters,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2194,6 +2207,18 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE CAST({(KMV_K - 1) * (1 << 48)} AS DOUBLE)
                              / CAST(MAX(h) AS DOUBLE) END AS estimate
             FROM mins
+        """,
+        # heavy hitters: the two-pass MG output is EXACT, so the oracle
+        # is the full groupBy with the same strict integer threshold
+        "heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({_LWORDS}) AS term
+              FROM documents WHERE text IS NOT NULL),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks CROSS JOIN tot
+            GROUP BY term, tot.n
+            HAVING COUNT(*) * 1000000 > tot.n * 33000
         """,
         "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # MinHash+LSH with bands=64: recall at s>=0.5 is 1-(1-s^2)^64

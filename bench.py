@@ -261,6 +261,7 @@ def run_bench(
             "mixture_sample",
             "bm25_topk",
             "c4_clean",
+            "heavy_hitters",
         ]
     ]
     best = round_robin_best(items)

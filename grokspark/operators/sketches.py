@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "KMV_SPACE_BITS"]
+__all__ = [
+    "kmv_distinct",
+    "KMV_SPACE_BITS",
+    "heavy_hitters",
+    "heavy_hitter_tokens",
+]
 
 KMV_SPACE_BITS = 48
 
@@ -70,3 +75,123 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         )
         .alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via two-pass Misra-Gries
+# ---------------------------------------------------------------------------
+#
+# At 10^12 tokens the distinct-term table is Heaps-bounded but still
+# far too wide for "groupBy(term).count() then filter" to be the plan
+# of choice: the full-vocabulary shuffle IS the cost. The classic
+# at-scale alternative is two passes over the data with BOUNDED state:
+#
+#   pass 1  per-partition Misra-Gries summaries (<= k counters each).
+#           Any term with global frequency > n/k exceeds n_p/k in at
+#           least one partition (pigeonhole), and a MG summary with k
+#           counters undercounts by at most n_p/(k+1) < n_p/k — so the
+#           UNION of per-partition candidate sets is a guaranteed
+#           superset of every phi-heavy term for k >= 1/phi.
+#   pass 2  exact counts of the candidates only: broadcast the
+#           candidate set (<= P*k terms), semi-join, one narrow
+#           groupBy, strict integer threshold count*1e6 > n*phi_ppm.
+#
+# The output is EXACT (identical to the full groupBy) — the sketch
+# bounds state and shuffle width, not accuracy — which is what makes
+# it oracle-checkable with plain SQL.
+
+
+def _mg_kernel(k: int):
+    """mapInArrow kernel: per-partition Misra-Gries over a single
+    string column. Batch-exact counts (Arrow value_counts) merged into
+    the summary, then offset-pruned back to <= k counters (subtract
+    the (k+1)-th largest, drop non-positive) — the standard mergeable
+    formulation, undercount <= n_p/(k+1). Emits the surviving
+    ``(term, cnt)`` lower bounds plus one ``(NULL, n_p)`` total row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = pa.schema([pa.field("term", pa.string()), pa.field("cnt", pa.int64())])
+
+    def kernel(batches):
+        counters: dict = {}
+        n_p = 0
+        for batch in batches:
+            col = batch.column(0)
+            n_p += len(col) - col.null_count
+            vc = pc.value_counts(col)
+            for t, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                if t is None:
+                    continue
+                counters[t] = counters.get(t, 0) + c
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pa.record_batch(
+            [
+                pa.array(list(counters.keys()) + [None], type=pa.string()),
+                pa.array(list(counters.values()) + [n_p], type=pa.int64()),
+            ],
+            schema=schema,
+        )
+
+    return kernel
+
+
+def heavy_hitters(
+    tokens: DataFrame,
+    key_col: str = "term",
+    phi_ppm: int = 10_000,
+    k: "int | None" = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact terms with frequency strictly above ``phi_ppm`` parts-
+    per-million of ``tokens`` (one row per occurrence): ``(term,
+    cnt)``.  ``k`` (default ``ceil(1e6 / phi_ppm)``) is the per-
+    partition counter budget; any ``k >= 1e6/phi_ppm`` preserves the
+    superset guarantee, larger k only widens pass 2's candidate set.
+    ``materialize`` localCheckpoints the (tiny) pass-1 summaries so
+    the corpus scan runs exactly twice, never three times."""
+    if not 1 <= phi_ppm < 1_000_000:
+        raise ValueError(f"phi_ppm must be in [1, 1e6), got {phi_ppm}")
+    if k is None:
+        k = -(-1_000_000 // phi_ppm)
+    if k * phi_ppm < 1_000_000:
+        raise ValueError(f"k={k} breaks the superset guarantee for phi_ppm={phi_ppm}")
+    toks = tokens.select(F.col(key_col).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    summaries = toks.mapInArrow(_mg_kernel(int(k)), "term string, cnt long")
+    if materialize:
+        summaries = summaries.localCheckpoint(eager=True)
+    n_total = summaries.filter(F.col("term").isNull()).agg(
+        F.sum("cnt").alias("n")
+    ).collect()[0]["n"] or 0
+    candidates = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return exact.filter(
+        F.col("cnt") * F.lit(1_000_000) > F.lit(int(n_total)) * F.lit(int(phi_ppm))
+    )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    phi_ppm: int = 10_000,
+    k: "int | None" = None,
+) -> DataFrame:
+    """Heavy-hitter WORDS of a text corpus (lowercased ASCII-whitespace
+    tokens, the shared ``lm_words`` convention): ``(term, cnt)``."""
+    from grokspark.operators.ngram_lm import lm_words
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(lm_words(F.col(text_col))).alias("term"))
+    )
+    return heavy_hitters(toks, "term", phi_ppm=phi_ppm, k=k)

@@ -730,3 +730,64 @@ def test_pack_sequences_deterministic_and_correct(spark):
     small = spark.createDataFrame(long_doc, schema)
     p = pack_sequences(small, max_len=64, n_buckets=2).collect()
     assert len(p) == 1 and p[0]["n_tok"] == 64 and p[0]["n_truncated"] == 1
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """Two-pass MG output equals the full groupBy at any partitioning,
+    with a tight counter budget (k = ceil(1/phi)) and a skewed
+    corpus; the pass-2 probe is a broadcast join."""
+    import random
+
+    from grokspark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish skew over 200 terms + a long uniform tail
+    toks = [f"t{int(200 / (i % 200 + 1))}" for i in range(20_000)] + [
+        f"u{rng.randrange(5_000)}" for _ in range(20_000)
+    ]
+    rng.shuffle(toks)
+    want_n = len(toks)
+    from collections import Counter
+
+    cnt = Counter(toks)
+    phi_ppm = 5_000
+    want = sorted(
+        (t, c) for t, c in cnt.items() if c * 1_000_000 > want_n * phi_ppm
+    )
+    assert 3 <= len(want) <= 40  # the threshold actually discriminates
+    df = spark.createDataFrame([(t,) for t in toks], "term string")
+    for parts in (1, 7):
+        out = heavy_hitters(df.repartition(parts), "term", phi_ppm=phi_ppm)
+        got = sorted((r["term"], r["cnt"]) for r in out.collect())
+        assert got == want, parts
+    plan = (
+        heavy_hitters(df, "term", phi_ppm=phi_ppm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_heavy_hitters_state_bound_and_validation(spark):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from grokspark.operators.sketches import _mg_kernel, heavy_hitters
+
+    # the per-partition summary never exceeds k counters (+1 total row)
+    k = 8
+    batches = [
+        pa.record_batch([pa.array([f"w{i % 50}" for i in range(500)])], ["term"]),
+        pa.record_batch([pa.array(["hot"] * 400 + [None] * 5)], ["term"]),
+    ]
+    out = list(_mg_kernel(k)(iter(batches)))
+    assert len(out) == 1 and out[0].num_rows <= k + 1
+    terms = out[0].column("term").to_pylist()
+    cnts = out[0].column("cnt").to_pylist()
+    assert terms[-1] is None and cnts[-1] == 900  # nulls excluded from n_p
+    assert "hot" in terms  # the true heavy hitter survives pruning
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with _pytest.raises(ValueError, match="phi_ppm"):
+        heavy_hitters(df, "term", phi_ppm=0)
+    with _pytest.raises(ValueError, match="superset"):
+        heavy_hitters(df, "term", phi_ppm=10_000, k=10)
