@@ -175,8 +175,12 @@ def heavy_hitters(
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # threshold computed as an exact Python int and carried as a LONG
+    # literal: int*int lits overflow 2^31 under ANSI at ~65k tokens
+    # for phi_ppm=33000 (bit at sf0.1; sf0.01 sat just under the line)
+    thr = int(n_total) * int(phi_ppm)
     return exact.filter(
-        F.col("cnt") * F.lit(1_000_000) > F.lit(int(n_total)) * F.lit(int(phi_ppm))
+        F.col("cnt") * F.lit(1_000_000).cast("long") > F.lit(thr).cast("long")
     )
 
 

@@ -791,3 +791,20 @@ def test_heavy_hitters_state_bound_and_validation(spark):
         heavy_hitters(df, "term", phi_ppm=0)
     with _pytest.raises(ValueError, match="superset"):
         heavy_hitters(df, "term", phi_ppm=10_000, k=10)
+
+
+def test_heavy_hitters_no_ansi_overflow_past_2_31(spark):
+    """n_total * phi_ppm exceeded 2^31 with int literals (ANSI throws);
+    the threshold must ride as an exact LONG. 70k tokens * 33000 ppm
+    = 2.31e9 > 2^31."""
+    from pyspark.sql import functions as F2
+
+    from grokspark.operators.sketches import heavy_hitters
+
+    toks = spark.range(70_000).select(
+        F2.when(F2.col("id") % 10 == 0, F2.lit("hot"))
+        .otherwise(F2.concat(F2.lit("t"), (F2.col("id") % 20000).cast("string")))
+        .alias("term")
+    )
+    out = heavy_hitters(toks, "term", phi_ppm=33_000).collect()
+    assert [(r["term"], r["cnt"]) for r in out] == [("hot", 7000)]
