@@ -89,6 +89,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25: ``(query_id, rank,
     doc_id, score_micro, score)``.  ``queries`` is a (small) DataFrame
@@ -96,15 +97,23 @@ def bm25_topk(
     corpus-side postings never shuffle for the probe.  Optional
     ``max_df_ratio`` drops terms present in more than that fraction of
     documents (exact integer threshold: ``df_t * 1000000 > N *
-    ratio_ppm``) before scoring."""
+    ratio_ppm``) before scoring.
+
+    The corpus is scanned ONCE: the global stats the score needs
+    (``n_docs = countDistinct(id)``, ``sum_dl = sum(tf)`` — every
+    doc's length is the sum of its term frequencies) are aggregated
+    from the postings themselves, and ``materialize`` (default, the
+    repo's eager-heavy-op convention) localCheckpoints the postings so
+    the stats action, the df-frequency aggregate, and the probe join
+    all reuse one materialization instead of re-running the scan."""
     post = bm25_postings(df, text_col, id_col)
-    stats = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.size(lm_words(F.col(text_col))).cast("long").alias("_dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("sumdl"))
-        .collect()[0]
-    )
-    n_docs, sum_dl = int(stats["n"]), int(stats["sumdl"] or 0)
+    if materialize:
+        post = post.localCheckpoint(eager=True)
+    stats = post.agg(
+        F.countDistinct("id").alias("n"),
+        F.sum("tf").alias("sumdl"),
+    ).collect()[0]
+    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sumdl"] or 0)
     if n_docs == 0:
         raise ValueError("bm25_topk: empty corpus")
     avgdl = float(sum_dl) / float(n_docs)
