@@ -889,6 +889,22 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of per-document word counts via the
+    value-histogram plan (operators/sketches.py exact_quantiles):
+    shuffle width = distinct counts, not rows; integer-only threshold
+    rule mirrored by the oracle's cumulative-sum SQL."""
+    from grokspark.operators import token_count
+    from grokspark.operators.sketches import exact_quantiles
+
+    docs = token_count(
+        _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    return exact_quantiles(docs, "n_words").select(
+        "q_ppm", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import lang_id
 
@@ -1810,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "quantiles_tokens": q_quantiles_tokens,
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
@@ -2330,6 +2347,21 @@ def _oracle_sql_base() -> dict[str, str]:
                 regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', '\\1 ', 'g')
               ), '\\s+'))) AS BIGINT) AS sum_pieces
             FROM documents GROUP BY source
+        """,
+        # exact quantiles: same integer cumsum/threshold rule as the
+        # Spark value-histogram plan — bit-identical, no interpolation
+        "quantiles_tokens": f"""
+            WITH vals AS (
+              SELECT CAST(len({_WORDS}) AS BIGINT) AS v
+              FROM documents WHERE text IS NOT NULL),
+            h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+            r AS (SELECT v, SUM(c) OVER (ORDER BY v) AS run,
+                         SUM(c) OVER () AS n FROM h),
+            q(q_ppm) AS (VALUES (250000), (500000), (750000), (900000), (990000))
+            SELECT CAST(q_ppm AS BIGINT) AS q_ppm, MIN(v) AS value
+            FROM r CROSS JOIN q
+            WHERE run * 1000000 >= CAST(q_ppm AS BIGINT) * n
+            GROUP BY 1
         """,
         "lang_id": f"""
             SELECT lang,

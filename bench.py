@@ -262,6 +262,7 @@ def run_bench(
             "bm25_topk",
             "c4_clean",
             "heavy_hitters",
+            "quantiles_tokens",
         ]
     ]
     best = round_robin_best(items)

@@ -33,6 +33,7 @@ __all__ = [
     "KMV_SPACE_BITS",
     "heavy_hitters",
     "heavy_hitter_tokens",
+    "exact_quantiles",
 ]
 
 KMV_SPACE_BITS = 48
@@ -199,3 +200,78 @@ def heavy_hitter_tokens(
         .select(F.explode(lm_words(F.col(text_col))).alias("term"))
     )
     return heavy_hitters(toks, "term", phi_ppm=phi_ppm, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles via value histogram
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    q_ppms: "tuple[int, ...]" = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """EXACT discrete quantiles of an integer-valued column:
+    ``(q_ppm, value)`` where ``value`` is the smallest v whose
+    cumulative count reaches ``ceil(q * n)`` (percentile_disc
+    semantics, expressed integer-only as ``run * 1e6 >= q_ppm * n``).
+
+    100-TB shape: a full sort (or row-wide window) over 10^12 rows is
+    the wrong plan for order statistics on BOUNDED-DOMAIN metrics (doc
+    lengths, ppm-quantized scores, token counts) — instead groupBy the
+    VALUE (shuffle width = distinct values, not rows; partial aggs
+    collapse map-side), then a cumulative sum over the sorted
+    histogram.  The histogram window is single-partition by design and
+    bounded by the domain size, NOT the row count — use this only for
+    columns with a bounded distinct-value set; for unbounded doubles
+    quantize to ppm first.  NULLs are excluded.  Fully lazy: no
+    driver-side collect.
+
+    Cross-engine exactness: counts and thresholds are integers; the
+    oracle mirrors the same run/threshold inequality, so results are
+    bit-identical (no interpolation).
+    """
+    if not q_ppms or not all(1 <= q <= 1_000_000 for q in q_ppms):
+        raise ValueError(f"q_ppms must be in [1, 1e6], got {q_ppms!r}")
+    from pyspark.sql import Window
+
+    h = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    r = h.select(
+        "v",
+        F.sum("c").over(w_run).alias("run"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    picks = r.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("run") * F.lit(1_000_000).cast("long")
+                    >= F.lit(int(qp)).cast("long") * F.col("n"),
+                    F.col("v"),
+                )
+            ).alias(f"_q{qp}")
+            for qp in q_ppms
+        ]
+    )
+    return picks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(qp)).cast("long").alias("q_ppm"),
+                        F.col(f"_q{qp}").alias("value"),
+                    )
+                    for qp in q_ppms
+                ]
+            )
+        ).alias("s")
+    ).select("s.q_ppm", "s.value")

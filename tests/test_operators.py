@@ -808,3 +808,26 @@ def test_heavy_hitters_no_ansi_overflow_past_2_31(spark):
     )
     out = heavy_hitters(toks, "term", phi_ppm=33_000).collect()
     assert [(r["term"], r["cnt"]) for r in out] == [("hot", 7000)]
+
+
+def test_exact_quantiles_matches_sorted_definition(spark):
+    """min v with cumcount >= ceil(q*n) == sorted[ceil(q*n)-1]
+    (percentile_disc), NULLs excluded; bounds validated."""
+    import random
+
+    import pytest as _pytest
+
+    from grokspark.operators.sketches import exact_quantiles
+
+    rng = random.Random(3)
+    vals = [rng.randrange(100) for _ in range(997)] + [None] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    qs = (1, 250_000, 500_000, 750_000, 990_000, 1_000_000)
+    out = {r["q_ppm"]: r["value"] for r in exact_quantiles(df, "v", qs).collect()}
+    clean = sorted(v for v in vals if v is not None)
+    n = len(clean)
+    for qp in qs:
+        target = -(-qp * n // 1_000_000)  # ceil(q * n)
+        assert out[qp] == clean[target - 1], qp
+    with _pytest.raises(ValueError, match="q_ppms"):
+        exact_quantiles(df, "v", (0,))
