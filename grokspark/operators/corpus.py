@@ -77,6 +77,7 @@ def prepare_corpus(
     bands: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    line_clean: bool = False,
     repetition_filter: bool = False,
     bench_df: Optional[DataFrame] = None,
     decontam_n: int = 3,
@@ -89,6 +90,10 @@ def prepare_corpus(
     desc, word asc) — at corpus scale the distinct-word tail is
     Heaps-bounded but not driver-bounded without it.
 
+    ``line_clean=True`` runs C4-style line-level cleaning FIRST
+    (``clean.c4_clean``): non-kept documents drop and every surviving
+    document's text is replaced by its cleaned lines before any other
+    stage sees it (map-only, fuses into the quality scan).
     ``repetition_filter=True`` adds the Gopher-style repetition keep
     rule after the base quality gate (both are map-only, so they fuse
     into one scan). ``bench_df`` drops every document sharing a word
@@ -109,6 +114,17 @@ def prepare_corpus(
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
 
+    if line_clean:
+        # C4-style line-level cleanup first (map-only, fuses into the
+        # same scan as the quality gate): downstream stages see the
+        # CLEANED text of surviving documents
+        from grokspark.operators.clean import c4_clean
+
+        df = (
+            c4_clean(df, text_col=text_col, id_col=id_col)
+            .filter(F.col("kept"))
+            .select(F.col(id_col), F.col("text_clean").alias(text_col))
+        )
     quality = quality_scores(df, text_col).filter(F.col("quality_keep") == 1)
     if repetition_filter:
         quality = repetition_scores(quality, text_col).filter(
@@ -336,6 +352,7 @@ def prepare_corpus_py(
     max_words: Optional[int] = None,
     threshold: float = 0.5,
     n: int = 2,
+    line_clean: bool = False,
     repetition_filter: bool = False,
     bench_texts: Optional[list[str]] = None,
     decontam_n: int = 3,
@@ -346,6 +363,14 @@ def prepare_corpus_py(
     docs = [(i, t) for i, t in docs]
     weights = split_weights or DEFAULT_SPLITS
 
+    if line_clean:
+        from grokspark.operators.clean import c4_clean_py
+
+        docs = [
+            (did, clean)
+            for did, clean, _nin, _nk, _ns, kept in c4_clean_py(docs)
+            if kept
+        ]
     quality = [(i, t) for i, t in docs if _quality_keep_py(t)]
     if repetition_filter:
         quality = [(i, t) for i, t in quality if _repetition_keep_py(t)]

@@ -276,3 +276,40 @@ def test_prepare_corpus_hygiene_stages_match_twin(spark, sf_dir):
     assert 0 < len(rep) < len(q), (len(rep), len(q))
     dec = _decontam_clean_py(rep, bench_texts, 3)
     assert 0 < len(dec) < len(rep), (len(dec), len(rep))
+
+
+def test_prepare_corpus_line_clean_matches_twin(spark, sf_dir):
+    """line_clean stage: the Spark job and the twin run the same
+    C4 cleanup first (docs drop, surviving text replaced by cleaned
+    lines) and stay bit-identical; the stage is non-vacuous on the
+    fabricated multi-line pages."""
+    import __spark_entry__ as entry
+    from grokspark.operators.clean import c4_clean_py
+    from grokspark.operators.corpus import prepare_corpus, prepare_corpus_py
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        entry._c4_page_col(F.col("text"), F.col("doc_id")).alias("text"),
+    )
+    kw = dict(max_len=128, n_buckets=4, n_merges=40)
+    got = sorted(
+        (r["split"], r["bucket"], r["pack_id"], tuple(r["tokens"]))
+        for r in prepare_corpus(pages, line_clean=True, **kw).collect()
+    )
+    py = [
+        (r["doc_id"], entry._c4_page_py(r["doc_id"], r["text"]))
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    want = sorted(
+        (r["split"], r["bucket"], r["pack_id"], tuple(map(int, r["tokens"])))
+        for r in prepare_corpus_py(py, line_clean=True, **kw)
+    )
+    assert got == want and got
+    # non-vacuous: the cleanup drops documents AND rewrites text
+    cleaned = c4_clean_py(py)
+    assert any(not kept for *_, kept in cleaned)
+    assert any(
+        kept and clean != text
+        for (_, text), (_, clean, *_rest, kept) in zip(py, cleaned)
+    )
