@@ -43,7 +43,14 @@ from grokspark.operators.sampling import (
     mixture_sample,
     target_mixture_fractions,
 )
-from grokspark.operators.sketches import kmv_distinct
+from grokspark.operators.clean import c4_clean
+from grokspark.operators.retrieval import bm25_postings, bm25_topk
+from grokspark.operators.sketches import (
+    exact_quantiles,
+    heavy_hitter_tokens,
+    heavy_hitters,
+    kmv_distinct,
+)
 from grokspark.operators.similarity import (
     ann_brute_force_topk,
     build_lsh_index,
@@ -120,7 +127,13 @@ __all__ = [
     "decontaminate_corpus",
     "winnow_fingerprints",
     "winnow_pairs",
+    "c4_clean",
+    "bm25_postings",
+    "bm25_topk",
     "kmv_distinct",
+    "heavy_hitters",
+    "heavy_hitter_tokens",
+    "exact_quantiles",
     "hash_split",
     "hash_sample",
     "mixture_sample",
