@@ -371,13 +371,39 @@ def _synthetic_embeddings(spark, n: int, dim: int = 64):
     )
 
 
-def run_scale_probe(sf_dir: str, cpus: int) -> None:
+def _parse_probe_rows(path) -> dict[str, dict[int, tuple[float, int, int]]]:
+    """Parse the op rows out of an existing SCALE_PROBES.md so a
+    filtered probe run (--probe-ops) can re-measure one noisy op
+    without discarding the others' readings (the box has multi-minute
+    noise windows; re-running everything just re-rolls the dice)."""
+    import re as _re
+
+    rows: dict[str, dict[int, tuple[float, int, int]]] = {}
+    if not path.exists():
+        return rows
+    pat = _re.compile(
+        r"^\| (\w+) \| ([\d.]+) \| ([\d,]+) \| ([\d,]+) \| ([\d.]+) \| ([\d,]+) \| ([\d,]+) \|"
+    )
+    for line in path.read_text().splitlines():
+        m = pat.match(line)
+        if m:
+            g = [x.replace(",", "") for x in m.groups()]
+            rows[g[0]] = {
+                1: (float(g[1]), int(g[2]), int(g[3])),
+                10: (float(g[4]), int(g[5]), int(g[6])),
+            }
+    return rows
+
+
+def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> None:
     """Cost-curvature probe for the dedup/ANN guards (VERDICT r3 #2):
     run the heavy candidate-generation ops at 1x and 10x the sf corpus
     (structure-preserving growth, see _mutated_docs) and record per-row
     cost curvature in BENCH/SCALE_PROBES.md. The 10x knn_join runs with
     n_planes=None, exercising the auto-sizing path on a corpus big
-    enough that the chosen plane count actually grows."""
+    enough that the chosen plane count actually grows. `only` restricts
+    to the named ops, merging re-measured rows into the existing table
+    (noisy-window single-op re-measure without a full 15-min sweep)."""
     from pyspark.sql import functions as F
 
     from grokspark.operators import (
@@ -387,12 +413,15 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
         prepare_corpus,
         winnow_pairs,
     )
+    from grokspark.operators.clean import c4_clean
     from grokspark.operators.retrieval import bm25_topk
+    from grokspark.operators.sketches import heavy_hitter_tokens
     from grokspark.operators.similarity import knn_join_blocked, recommended_n_planes
     from grokspark.session import get_spark
 
     spark = get_spark(app_name="grokspark-scale-probe", cores=cpus, shuffle_partitions=cpus)
     results: dict[str, dict[int, tuple[float, int]]] = {}
+    op_order: list[str] = []
 
     def probe(name: str, factor: int, build):
         # repartition to the core count BEFORE checkpointing: the 1x
@@ -438,6 +467,25 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
             lambda df: prepare_corpus(df, max_len=256, n_buckets=32, n_merges=120),
         ),
         (
+            # map-only: curvature should be ~flat-to-sublinear; any
+            # rise means a fused rule stopped fusing
+            "c4_clean",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: c4_clean(df),
+        ),
+        (
+            # bounded-state candidates + broadcast verify: curvature
+            # tracks the two scans, not the vocabulary. Quality-
+            # preserving growth: the rot-letter corpus dilutes EVERY
+            # term 10x (copy-specific vocab), emptying any fixed-phi
+            # output at 10x; the suffix variant keeps short/stopword
+            # frequencies stable so the threshold discriminates at
+            # both levels
+            "heavy_hitters",
+            lambda f: _mutated_docs_keep_quality(spark, sf_dir, f),
+            lambda df: heavy_hitter_tokens(df, phi_ppm=5_000),
+        ),
+        (
             # postings volume grows linearly with the corpus while the
             # probe side (3 queries) is fixed — the inverted-index
             # promise is that query cost tracks posting-list length,
@@ -465,11 +513,21 @@ def run_scale_probe(sf_dir: str, cpus: int) -> None:
             ),
         ),
     ]:
+        op_order.append(name)
+        if only and name not in only:
+            continue
         for factor in (1, 10):
             probe(name, factor, build_inputs)
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    if only:
+        prior = _parse_probe_rows(bench_dir / "SCALE_PROBES.md")
+        results = {
+            name: results.get(name) or prior[name]
+            for name in op_order
+            if name in results or name in prior
+        }
     lines = [
         "# BENCH/SCALE_PROBES — 1x vs 10x cost curvature",
         "",
@@ -801,6 +859,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=None, help="sequences-table rows override")
     ap.add_argument("--parse-only", action="store_true", help="headline parse job only (used by --scaling)")
     ap.add_argument("--scale-probe", action="store_true", help="1x vs 10x cost-curvature probe -> BENCH/SCALE_PROBES.md")
+    ap.add_argument("--probe-ops", default=None, help="comma list: re-measure only these probe ops, merge into the existing table")
     ap.add_argument("--streaming-soak", action="store_true", help="streaming rows/s + state-store soak -> BENCH/STREAMING.md")
     args = ap.parse_args()
 
@@ -811,7 +870,8 @@ def main() -> None:
         run_scaling(sf_dir, args.n)
         return
     if args.scale_probe:
-        run_scale_probe(sf_dir, cpus)
+        only = args.probe_ops.split(",") if args.probe_ops else None
+        run_scale_probe(sf_dir, cpus, only=only)
         return
     if args.streaming_soak:
         run_streaming_soak(cpus)
