@@ -557,6 +557,26 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 7
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-source carve-out (fixed-size eval sets no matter
+    how skewed the domain sizes): rank by salted id hash inside each
+    source, keep the first k, semi-join the ids back. Oracle: the
+    identical hash + row_number rule in SQL."""
+    from grokspark.operators import reservoir_sample
+
+    kept = reservoir_sample(
+        _read(spark, sf_dir, "documents"), RESERVOIR_K, group_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 MIXTURE_FRACTIONS = {"src0": 0.2, "src1": 0.5, "src2": 0.8, "src3": 0.0}
 MIXTURE_DEFAULT = 0.9
 
@@ -1804,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": q_hash_split_counts,
         "hash_sample": q_hash_sample,
         "mixture_sample": q_mixture_sample,
+        "reservoir_sample": q_reservoir_sample,
         "pack_sequences": q_pack_sequences,
         "kmv_distinct": q_kmv_distinct,
         "heavy_hitters": q_heavy_hitters,
@@ -1915,6 +1936,22 @@ def _mixture_sample_oracle_sql() -> str:
         SELECT source, COUNT(*) AS n_kept,
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM documents WHERE {h} < {case}
+        GROUP BY source
+    """
+
+
+def _reservoir_sample_oracle_sql() -> str:
+    h = _duck_salted_hash("reservoir")
+    return f"""
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               MIN(doc_id) AS min_id
+        FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {h}, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {RESERVOIR_K}
         GROUP BY source
     """
 
@@ -2197,6 +2234,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "hash_split_counts": _hash_split_oracle_sql(),
         "hash_sample": _hash_sample_oracle_sql(),
         "mixture_sample": _mixture_sample_oracle_sql(),
+        "reservoir_sample": _reservoir_sample_oracle_sql(),
         "pack_sequences": _values_sql(
             _pack_oracle_rows(),
             [

@@ -41,6 +41,7 @@ from grokspark.operators.sampling import (
     hash_sample,
     hash_split,
     mixture_sample,
+    reservoir_sample,
     target_mixture_fractions,
 )
 from grokspark.operators.clean import c4_clean
@@ -137,6 +138,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "mixture_sample",
+    "reservoir_sample",
     "target_mixture_fractions",
     "pack_sequences",
     "train_bpe",

@@ -27,6 +27,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "mixture_sample",
+    "reservoir_sample",
     "target_mixture_fractions",
     "split_thresholds",
 ]
@@ -132,6 +133,57 @@ def mixture_sample(
     else:
         bound = F.lit(default_bound)
     return df.filter(_salted_hash(id_col, salt) < bound)
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str | None = "source",
+    id_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Exact-``k`` uniform-without-replacement sample per
+    ``group_col`` group (or globally when ``group_col`` is None) —
+    the fixed-size carve-out primitive (eval/held-out sets, per-domain
+    inspection samples) that fraction-based ``hash_sample`` can't
+    express: every group yields exactly min(k, |group|) rows no matter
+    how skewed group sizes are.
+
+    Rule: rank rows inside each group by the salted id hash (ties
+    broken by id) and keep the first k. The hash is uniform on ids, so
+    the sample is uniform; it is a pure function of (id, salt), so the
+    sample is deterministic under reruns/repartitioning, and STABLE
+    under corpus growth in the reservoir sense — adding documents can
+    only displace current members, never reshuffle the survivors'
+    relative order (samples at k and k' < k nest).
+
+    100-TB shape: the ranking runs over an ID-PROJECTED side (id,
+    group, hash — tens of bytes/row; document payloads never enter
+    the sort shuffle), and the per-group window is a top-k filter
+    whose survivors number at most k * |groups|, a set small enough
+    for AQE to broadcast back onto the corpus in the id semi-join.
+    The global (group_col=None) variant avoids the single-partition
+    window entirely: ``ORDER BY hash LIMIT k`` compiles to
+    TakeOrderedAndProject — per-partition partial top-k, no full
+    sort."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = _salted_hash(id_col, salt)
+    ids = df.select(
+        *([group_col] if group_col else []), id_col
+    ).withColumn("_h", h)
+    if group_col is None:
+        picked = ids.orderBy("_h", id_col).limit(k).select(id_col)
+    else:
+        w = Window.partitionBy(group_col).orderBy("_h", id_col)
+        picked = (
+            ids.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(id_col)
+        )
+    return df.join(picked, id_col, "semi")
 
 
 def target_mixture_fractions(

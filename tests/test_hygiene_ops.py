@@ -215,6 +215,68 @@ def test_mixture_sample_no_shuffle_no_join(spark):
     assert "Exchange" not in plan and "Join" not in plan, plan
 
 
+def test_reservoir_sample_exact_k_per_group(spark):
+    from grokspark.operators import reservoir_sample
+
+    # skewed groups: g0 has 500 rows, g1 has 30, g2 has 3 (< k)
+    rows = (
+        [(i, "g0") for i in range(500)]
+        + [(1000 + i, "g1") for i in range(30)]
+        + [(2000 + i, "g2") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = reservoir_sample(df, 10).collect()
+    by_group: dict[str, set[int]] = {}
+    for r in kept:
+        by_group.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_group["g0"]) == 10
+    assert len(by_group["g1"]) == 10
+    assert by_group["g2"] == {2000, 2001, 2002}  # whole small group
+    # deterministic + partition-invariant
+    again = {
+        (r["source"], r["doc_id"])
+        for r in reservoir_sample(df.repartition(17), 10).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in kept}
+    # nesting: the k=4 sample is a subset of the k=10 sample
+    k4 = {
+        (r["source"], r["doc_id"]) for r in reservoir_sample(df, 4).collect()
+    }
+    assert k4 < again and len(k4) == 4 + 4 + 3
+    # reservoir stability under growth: adding rows never reorders
+    # survivors — each group's k=10 sample of the grown corpus is a
+    # superset-displacement of the original (members only leave when
+    # a new row hashes in front of them, so the SURVIVING originals
+    # are exactly the original sample's lowest-ranked members)
+    grown = df.union(
+        spark.createDataFrame(
+            [(5000 + i, "g1") for i in range(50)], "doc_id long, source string"
+        )
+    )
+    g1_grown = {
+        r["doc_id"]
+        for r in reservoir_sample(grown, 10).collect()
+        if r["source"] == "g1"
+    }
+    assert g1_grown & by_group["g1"] == g1_grown - set(range(5000, 5050))
+    # full columns survive the semi-join
+    assert set(kept[0].asDict()) == {"doc_id", "source"}
+
+
+def test_reservoir_sample_global_uses_take_ordered(spark):
+    from grokspark.operators import reservoir_sample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(200)], "doc_id long, source string"
+    )
+    out = reservoir_sample(df, 5, group_col=None)
+    assert out.count() == 5
+    # the global path must compile to a partial top-k, not a
+    # single-partition global sort window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_target_mixture_fractions():
     from grokspark.operators import target_mixture_fractions
 
