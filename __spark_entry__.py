@@ -475,6 +475,29 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(F.sum("new_sess").cast("long").alias("n_sessions"))
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to every click the user's most recent error
+    at-or-before it (union + per-key running-last window — one
+    shuffle, no range explode; grokspark.operators.asof). Oracle:
+    DuckDB's native ASOF LEFT JOIN with the same max-event_id
+    tie-break, aggregated to exact integer lag sums."""
+    from grokspark.operators import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(clicks, errors, on="user_id", right_tiebreak="event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.groupBy((F.col("user_id") % 8).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("event_id_r").alias("n_matched"),
+        F.sum(us("ts") - us("ts_r")).cast("long").alias("sum_lag_micros"),
+        F.sum("event_id_r").cast("long").alias("sum_r_ids"),
+    )
+
+
 # -- training-data ops --------------------------------------------------------
 
 
@@ -1820,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "events_props_k": q_events_props_k,
         "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
         # training-data operators
         "hash_split_counts": q_hash_split_counts,
         "hash_sample": q_hash_sample,
@@ -2222,6 +2246,20 @@ def _oracle_sql_base() -> dict[str, str]:
                 THEN 1 ELSE 0 END AS new_sess
               FROM events)
             GROUP BY user_id
+        """,
+        "events_asof_join": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+                 rd AS (SELECT user_id, ts, MAX(event_id) AS event_id
+                        FROM events WHERE event_type = 'error'
+                        GROUP BY user_id, ts)
+            SELECT l.user_id % 8 AS user_bucket,
+                   COUNT(*) AS n_clicks,
+                   COUNT(rd.event_id) AS n_matched,
+                   CAST(SUM(epoch_us(l.ts) - epoch_us(rd.ts)) AS BIGINT) AS sum_lag_micros,
+                   CAST(SUM(rd.event_id) AS BIGINT) AS sum_r_ids
+            FROM l ASOF LEFT JOIN rd
+              ON l.user_id = rd.user_id AND l.ts >= rd.ts
+            GROUP BY 1
         """,
         # training-data ops
         "dedup_exact": """

@@ -11,6 +11,7 @@ HOF lambdas make the expression form cubic), high-dim LSH bucketing
 fakes/NotImplementedError).
 """
 
+from grokspark.operators.asof import asof_join
 from grokspark.operators.bpe import (
     apply_bpe,
     apply_bpe_ids,
@@ -128,6 +129,7 @@ __all__ = [
     "decontaminate_corpus",
     "winnow_fingerprints",
     "winnow_pairs",
+    "asof_join",
     "c4_clean",
     "bm25_postings",
     "bm25_topk",
