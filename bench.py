@@ -263,6 +263,8 @@ def run_bench(
             "c4_clean",
             "heavy_hitters",
             "quantiles_tokens",
+            "events_asof_join",
+            "reservoir_sample",
         ]
     ]
     best = round_robin_best(items)
