@@ -825,6 +825,26 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+SEMDEDUP_CELLS = 16
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse k-means-cell assignment via
+    the seeded-centroid quantizer (same bit-reproducible argmax-dot
+    rule as the IVF gate query), then per-cell drop of any row with a
+    smaller-id cell-mate at cosine >= 0.3 — the scale path's grouped
+    float64 matmul. Oracle recomputes cells AND the drop rule in SQL
+    from the same centroid literals; threshold margins on this corpus
+    are ~1.8e-4 (measured), far above matmul-vs-fold rounding."""
+    from grokspark.operators import semdedup
+    from grokspark.operators.ivf import seeded_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = seeded_centroids(64, SEMDEDUP_CELLS, seed=42)
+    return semdedup(emb, centroids, threshold=SEMDEDUP_THRESHOLD)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import ann_brute_force_topk
 
@@ -1863,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_blocked": q_knn_join_blocked,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semdedup": q_semdedup,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1980,17 +2001,15 @@ def _reservoir_sample_oracle_sql() -> str:
     """
 
 
-def _ann_ivf_oracle_sql(
-    k_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE, k: int = 10
-) -> str:
-    """DuckDB mirror of the whole IVF rule from the same centroid
-    literals: per-row cell = argmax dot (first index on ties, same
-    sequential fold -> bit-identical), probe set = the query's top-
-    nprobe cells ranked in SQL, exact cosine top-k within the probes."""
+def _centroid_dots_sql(k_cells: int) -> str:
+    """SQL array of per-centroid dot products against the SAME seeded
+    centroid literals Spark uses — the shared cell-assignment half of
+    the IVF and SemDeDup oracles (argmax over this array, first index
+    on ties, matches ivf_assign_col bit-for-bit)."""
     from grokspark.operators.ivf import seeded_centroids
 
     centroids = seeded_centroids(64, k_cells, seed=42)
-    dots = (
+    return (
         "["
         + ", ".join(
             "list_dot_product(CAST(embedding AS DOUBLE[]), ["
@@ -2000,6 +2019,42 @@ def _ann_ivf_oracle_sql(
         )
         + "]"
     )
+
+
+def _semdedup_oracle_sql(k_cells: int, threshold: float) -> str:
+    """DuckDB mirror of the whole SemDeDup rule: cell = argmax dot
+    over the same centroid literals, kept = no smaller-id cell-mate
+    with cosine >= threshold (double-cast cosine; corpus margins to
+    the threshold are ~1e-4, far above matmul-vs-fold rounding)."""
+    return f"""
+        WITH a AS (
+          SELECT vec_id, embedding, {_centroid_dots_sql(k_cells)} AS dots
+          FROM embeddings
+        ), cells AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS cell
+          FROM a
+        )
+        SELECT x.vec_id, x.cell,
+               CAST(CASE WHEN EXISTS (
+                 SELECT 1 FROM cells y
+                 WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+                   AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                              CAST(y.embedding AS DOUBLE[]))
+                       >= {threshold}
+               ) THEN 0 ELSE 1 END AS INTEGER) AS kept
+        FROM cells x
+    """
+
+
+def _ann_ivf_oracle_sql(
+    k_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE, k: int = 10
+) -> str:
+    """DuckDB mirror of the whole IVF rule from the same centroid
+    literals: per-row cell = argmax dot (first index on ties, same
+    sequential fold -> bit-identical), probe set = the query's top-
+    nprobe cells ranked in SQL, exact cosine top-k within the probes."""
+    dots = _centroid_dots_sql(k_cells)
     return f"""
         WITH a AS (
           SELECT vec_id, embedding, {dots} AS dots FROM embeddings
@@ -2355,6 +2410,7 @@ def _oracle_sql_base() -> dict[str, str]:
              AND bit_count(xor(a.bucket, c.bucket)) <= 2
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.5
         """,
+        "semdedup": _semdedup_oracle_sql(SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD),
         "ann_topk": """
             SELECT vec_id, label FROM (
               SELECT e.vec_id, e.label

@@ -265,6 +265,7 @@ def run_bench(
             "quantiles_tokens",
             "events_asof_join",
             "reservoir_sample",
+            "semdedup",
         ]
     ]
     best = round_robin_best(items)

@@ -28,6 +28,8 @@ from grokspark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_pairs,
     minhash_lsh_pairs_vs,
+    semdedup,
+    semdedup_join,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
@@ -99,6 +101,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_vs",
+    "semdedup",
+    "semdedup_join",
     "simhash_near_dup_pairs",
     "simhash_signatures",
     "embedding_cosine_pairs",

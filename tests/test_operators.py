@@ -831,3 +831,39 @@ def test_exact_quantiles_matches_sorted_definition(spark):
         assert out[qp] == clean[target - 1], qp
     with _pytest.raises(ValueError, match="q_ppms"):
         exact_quantiles(df, "v", (0,))
+
+
+def test_semdedup_matmul_matches_fold_twin(spark, emb):
+    """The grouped-matmul scale path and the JVM fold-path twin agree
+    row-for-row (cell AND kept flag) on the testdata corpus — the
+    threshold margins (>=1e-3 at sf0.001, measured) dwarf the
+    matmul-vs-sequential-fold rounding difference the two paths have."""
+    from grokspark.operators import semdedup, semdedup_join
+    from grokspark.operators.ivf import seeded_centroids
+
+    centroids = seeded_centroids(64, 16, seed=42)
+    fast = semdedup(emb, centroids, threshold=0.3).orderBy("vec_id").collect()
+    twin = semdedup_join(emb, centroids, threshold=0.3).orderBy("vec_id").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in twin]
+    n = emb.count()
+    assert len(fast) == n  # every input row classified exactly once
+    kept = sum(r["kept"] for r in fast)
+    assert 0 < kept < n  # the rule genuinely splits this corpus
+
+
+def test_semdedup_smallest_id_per_cell_is_kept(spark, emb):
+    """The paper's scan-order rule can never drop a cell's first row
+    (no smaller-id mate exists), and dropping is cell-local: a row is
+    dropped iff SOME smaller-id mate in the SAME cell clears the
+    threshold, regardless of other cells' contents."""
+    from grokspark.operators import semdedup
+    from grokspark.operators.ivf import seeded_centroids
+
+    centroids = seeded_centroids(64, 16, seed=42)
+    out = semdedup(emb, centroids, threshold=0.3)
+    firsts = (
+        out.groupBy("cell")
+        .agg(F.min_by("kept", "vec_id").alias("first_kept"))
+        .collect()
+    )
+    assert firsts and all(r["first_kept"] == 1 for r in firsts)
