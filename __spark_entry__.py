@@ -845,6 +845,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, centroids, threshold=SEMDEDUP_THRESHOLD)
 
 
+SEMDEDUP_LSH_PLANES = 4
+
+
+def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with sign-LSH cells — the O(n log k) assignment
+    variant (centroid assignment is O(n*k) and k must grow with the
+    corpus; the scale probe measured that term as curvature 0.80).
+    Same drop rule and prune kernel; oracle recomputes the bucket AND
+    the rule from the same hyperplane literals (sign margins ~1e-3,
+    cosine margins ~4e-4 on this corpus — measured)."""
+    from grokspark.operators import semdedup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semdedup_lsh(
+        emb, n_planes=SEMDEDUP_LSH_PLANES, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import ann_brute_force_topk
 
@@ -1884,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "semdedup": q_semdedup,
+        "semdedup_lsh": q_semdedup_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2411,6 +2430,22 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.5
         """,
         "semdedup": _semdedup_oracle_sql(SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD),
+        "semdedup_lsh": f"""
+            WITH cells AS (
+              SELECT vec_id, embedding,
+                     CAST({_lsh_bucket_sql(SEMDEDUP_LSH_PLANES)} AS INTEGER) AS cell
+              FROM embeddings
+            )
+            SELECT x.vec_id, x.cell,
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM cells y
+                     WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+                       AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                  CAST(y.embedding AS DOUBLE[]))
+                           >= {SEMDEDUP_THRESHOLD}
+                   ) THEN 0 ELSE 1 END AS INTEGER) AS kept
+            FROM cells x
+        """,
         "ann_topk": """
             SELECT vec_id, label FROM (
               SELECT e.vec_id, e.label

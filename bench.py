@@ -266,6 +266,7 @@ def run_bench(
             "events_asof_join",
             "reservoir_sample",
             "semdedup",
+            "semdedup_lsh",
         ]
     ]
     best = round_robin_best(items)
@@ -414,8 +415,12 @@ def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> No
         knn_join,
         minhash_lsh_pairs,
         prepare_corpus,
+        semdedup,
+        semdedup_lsh,
         winnow_pairs,
     )
+    from grokspark.operators.dedup import semdedup_recommended_cells
+    from grokspark.operators.ivf import seeded_centroids
     from grokspark.operators.clean import c4_clean
     from grokspark.operators.retrieval import bm25_topk
     from grokspark.operators.sketches import heavy_hitter_tokens
@@ -505,6 +510,30 @@ def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> No
             ),
         ),
         (
+            # k grows with the corpus (semdedup_recommended_cells) so
+            # cell size — and the per-cell quadratic matmul — stays
+            # ~constant; curvature then tracks the shuffle + per-row
+            # scoring, the operator as the scale rule says to run it.
+            # A FIXED k would measure the quadratic blowup instead.
+            "semdedup",
+            lambda f: _synthetic_embeddings(spark, 5_000 * f),
+            lambda df: semdedup(
+                df,
+                seeded_centroids(
+                    64, semdedup_recommended_cells(df.count()), seed=42
+                ),
+                threshold=0.3,
+            ),
+        ),
+        (
+            # the O(n log k) assignment fix for semdedup's 0.80: the
+            # bucket costs n_planes (~log2 k) dot products per row
+            # instead of k, so total assignment stays ~linear
+            "semdedup_lsh",
+            lambda f: _synthetic_embeddings(spark, 5_000 * f),
+            lambda df: semdedup_lsh(df, n_planes=None, threshold=0.3),
+        ),
+        (
             # benchmark side grows with the corpus (same %50 rule the
             # gate query uses), so candidate volume scales honestly
             "decontaminate",
@@ -579,6 +608,18 @@ def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> No
         "with the corpus; the corpus pass explodes 8-byte gram hashes",
         "against a broadcast benchmark table (no corpus shuffle) and",
         "only candidate docs pay the string-verify rejoin.",
+        "",
+        "semdedup vs semdedup_lsh is a deliberate A/B of the SAME drop",
+        "rule under two cell assignments: centroid argmax-dot costs k",
+        "dot products per row and k MUST grow with the corpus to bound",
+        "the per-cell quadratic matmul (semdedup_recommended_cells), so",
+        "total assignment work is O(n*k) ~ O(n^2/target) — the 0.8",
+        "curvature IS that term, measured. The sign-LSH cell reaches",
+        "2^n_planes cells with n_planes (~log2 k) dot products per row,",
+        "keeping assignment ~linear — same prune kernel, same",
+        "gate-query oracle structure, flat curvature. At 100 TB use",
+        "semdedup_lsh (or trained centroids with an ANN assigner);",
+        "centroid semdedup stays as the paper-faithful baseline.",
         "",
         "knn_join's verify join moves candidates x 2 x vector_width",
         "bytes and fold-scores per row; knn_join_blocked ships each",

@@ -30,6 +30,7 @@ from grokspark.operators.dedup import (
     minhash_lsh_pairs_vs,
     semdedup,
     semdedup_join,
+    semdedup_lsh,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
@@ -103,6 +104,7 @@ __all__ = [
     "minhash_lsh_pairs_vs",
     "semdedup",
     "semdedup_join",
+    "semdedup_lsh",
     "simhash_near_dup_pairs",
     "simhash_signatures",
     "embedding_cosine_pairs",

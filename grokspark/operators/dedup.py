@@ -44,6 +44,7 @@ __all__ = [
     "cosine",
     "semdedup",
     "semdedup_join",
+    "semdedup_lsh",
 ]
 
 
@@ -891,6 +892,14 @@ def _semdedup_cells(
     )
 
 
+def semdedup_recommended_cells(n_rows: int, target_cell_rows: int = 512) -> int:
+    """Centroid count that keeps expected cell size ~constant — the
+    SemDeDup scale rule (the paper's k ~ 100k on LAION-5B is exactly
+    n/target): per-cell similarity work is quadratic in cell size, so
+    k must grow WITH the corpus, never stay fixed."""
+    return max(8, int(round(n_rows / max(1, target_cell_rows))))
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -920,14 +929,51 @@ def semdedup(
     margins are ~1e-4 (checked), and ``semdedup_join`` is the
     fold-path exactness twin used by the equality test.
     """
-    import numpy as np
-    import pandas as pd
-
     cells = _semdedup_cells(df, centroids, vec_col, id_col)
-    id_field = df.schema[id_col]
+    return _semdedup_prune(cells, threshold, df.schema[id_col].dataType, id_col)
+
+
+def _semdedup_prune_join(cells: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Fold-path twin of ``_semdedup_prune``: same drop rule as a
+    self-join + sequential-fold cosine (bit-identical to the SQL
+    oracle's evaluation order). Quadratic within a cell — tests only."""
+    mates = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    droppers = (
+        cells.join(
+            mates,
+            (F.col("cell") == F.col("cell_b")) & (F.col("id_b") < F.col("id")),
+        )
+        .filter(cosine(F.col("vec"), F.col("vec_b")) >= float(threshold))
+        .select("id")
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        cells.join(droppers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def _semdedup_prune(
+    cells: DataFrame, threshold: float, id_type, id_col: str
+) -> DataFrame:
+    """Shared prune stage over a prepared ``(id, vec, cell)`` frame:
+    one shuffle by cell into a grouped float64 matmul applying the
+    smaller-id-mate drop rule."""
     out_schema = T.StructType(
         [
-            T.StructField("id", id_field.dataType),
+            T.StructField("id", id_type),
             T.StructField("cell", T.IntegerType()),
             T.StructField("kept", T.IntegerType()),
         ]
@@ -958,6 +1004,47 @@ def semdedup(
     )
 
 
+def semdedup_lsh(
+    df: DataFrame,
+    n_planes: Optional[int] = None,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    target_cell_rows: int = 512,
+) -> DataFrame:
+    """SemDeDup with SIGN-LSH cells instead of centroid cells — the
+    assignment-cost fix the scale probe demanded: centroid assignment
+    is O(k) dot products per row and k must grow with the corpus
+    (semdedup_recommended_cells), making assignment O(n^2/target)
+    overall — the probe measured curvature 0.80 from exactly that
+    term. A sign-LSH bucket reaches 2^n_planes cells with n_planes
+    (~log2 k) dot products per row, so assignment stays O(n log k).
+    Same per-cell drop rule and prune kernel as ``semdedup``; cells
+    are hyperplane buckets, so the partition differs from k-means
+    cells (near-dups across bucket boundaries are missed by BOTH
+    methods by design — the paper's accepted approximation). Buckets
+    are less balanced than trained cells; auto-sizing targets
+    ``target_cell_rows`` expected rows per bucket."""
+    from grokspark.operators.similarity import (
+        _resolve_n_planes,
+        hyperplanes,
+        lsh_bucket_col,
+    )
+
+    n_planes = _resolve_n_planes(
+        df, n_planes, "semdedup_lsh", target_bucket_rows=target_cell_rows
+    )
+    dim = df.select(F.size(F.col(vec_col))).head()[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(vec_col, planes).cast("int").alias("cell"),
+    )
+    return _semdedup_prune(cells, threshold, df.schema[id_col].dataType, id_col)
+
+
 def semdedup_join(
     df: DataFrame,
     centroids: list[list[float]],
@@ -971,29 +1058,4 @@ def semdedup_join(
     evaluation order). Quadratic within a cell — baseline for tests,
     not the scale path."""
     cells = _semdedup_cells(df, centroids, vec_col, id_col)
-    mates = cells.select(
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("cell").alias("cell_b"),
-    )
-    droppers = (
-        cells.join(
-            mates,
-            (F.col("cell") == F.col("cell_b")) & (F.col("id_b") < F.col("id")),
-        )
-        .filter(cosine(F.col("vec"), F.col("vec_b")) >= float(threshold))
-        .select("id")
-        .distinct()
-        .withColumn("_dropped", F.lit(1))
-    )
-    return (
-        cells.join(droppers, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("cell"),
-            F.when(F.col("_dropped").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("kept"),
-        )
-    )
+    return _semdedup_prune_join(cells, threshold, id_col)

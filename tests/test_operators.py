@@ -867,3 +867,27 @@ def test_semdedup_smallest_id_per_cell_is_kept(spark, emb):
         .collect()
     )
     assert firsts and all(r["first_kept"] == 1 for r in firsts)
+
+
+def test_semdedup_lsh_matches_fold_twin(spark, emb):
+    """The LSH-cell variant's matmul prune agrees with the fold-path
+    join twin over the SAME cells frame — isolates the prune kernel;
+    the bucket expression itself is the already-parity-tested
+    lsh_bucket_col fold."""
+    from grokspark.operators import semdedup_lsh
+    from grokspark.operators.dedup import _semdedup_prune_join
+    from grokspark.operators.similarity import hyperplanes, lsh_bucket_col
+
+    fast = semdedup_lsh(emb, n_planes=4, threshold=0.3).orderBy("vec_id").collect()
+    planes = hyperplanes(64, 4, seed=42)
+    cells = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        lsh_bucket_col("embedding", planes).cast("int").alias("cell"),
+    )
+    twin = (
+        _semdedup_prune_join(cells, 0.3, "vec_id").orderBy("vec_id").collect()
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in twin]
+    kept = sum(r["kept"] for r in fast)
+    assert 0 < kept < len(fast)
