@@ -950,6 +950,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+DSIR_BUCKETS = 4096
+DSIR_K = 50
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bucket distributions (salted 48-bit md5 % 4096 — the cross-engine
+    hash), add-one-smoothed log importance ratios quantized ONCE per
+    bucket to integer micro-nats, per-doc weight = exact integer sum,
+    deterministic top-50. Target domain proxy = doc_id % 11 == 0, raw
+    = the rest. Rounding margins at this corpus: 3.1e-3 micro-units
+    (vs ~1e-9 ln-ulp noise); rank-50 cut separated by 1.6e5."""
+    from grokspark.operators import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    return dsir_select(raw, target, k=DSIR_K, n_buckets=DSIR_BUCKETS).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("weight_micro").cast("long").alias("weight_micro"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import quality_scores
 
@@ -1901,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_blocked": q_knn_join_blocked,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "semdedup_lsh": q_semdedup_lsh,
         "ann_topk": q_ann_topk,
@@ -2428,6 +2453,51 @@ def _oracle_sql_base() -> dict[str, str]:
               ON a.vec_id < c.vec_id
              AND bit_count(xor(a.bucket, c.bucket)) <= 2
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.5
+        """,
+        # DSIR: whole rule in SQL — same 48-bit md5 buckets, same
+        # add-one smoothing, per-bucket micro-nat quantization, exact
+        # integer per-doc sums, deterministic top-k
+        "dsir_select": f"""
+            WITH d AS (
+              SELECT doc_id, {_LWORDS} AS ws
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_concat(ws,
+                       CASE WHEN len(ws) >= 2
+                            THEN [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+                            ELSE []::VARCHAR[] END)) AS gram
+              FROM d
+            ), b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5('dsir:' || gram), 1, 12)) AS BIGINT)
+                       % {DSIR_BUCKETS} AS bucket,
+                     doc_id % 11 = 0 AS is_tgt
+              FROM g
+            ), tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE is_tgt GROUP BY 1),
+            rc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE NOT is_tgt GROUP BY 1),
+            tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS nt,
+                           (SELECT COALESCE(SUM(c), 0) FROM rc) AS nr),
+            lr AS (
+              SELECT r.range AS bucket,
+                     CAST(round(1000000.0 * (
+                        ln((COALESCE(tc.c, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}.0))
+                      - ln((COALESCE(rc.c, 0) + 1.0) / (tot.nr + {DSIR_BUCKETS}.0))
+                     )) AS BIGINT) AS lr_micro
+              FROM range({DSIR_BUCKETS}) r
+              LEFT JOIN tc ON tc.bucket = r.range
+              LEFT JOIN rc ON rc.bucket = r.range
+              CROSS JOIN tot
+            ), w AS (
+              SELECT b.doc_id, COUNT(*) AS n_grams,
+                     SUM(lr.lr_micro) AS weight_micro
+              FROM b JOIN lr ON b.bucket = lr.bucket
+              WHERE NOT b.is_tgt
+              GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(weight_micro AS BIGINT) AS weight_micro
+            FROM w ORDER BY weight_micro DESC, doc_id ASC LIMIT {DSIR_K}
         """,
         "semdedup": _semdedup_oracle_sql(SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD),
         "semdedup_lsh": f"""

@@ -267,6 +267,7 @@ def run_bench(
             "reservoir_sample",
             "semdedup",
             "semdedup_lsh",
+            "dsir_select",
         ]
     ]
     best = round_robin_best(items)
@@ -412,6 +413,7 @@ def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> No
 
     from grokspark.operators import (
         decontaminate,
+        dsir_select,
         knn_join,
         minhash_lsh_pairs,
         prepare_corpus,
@@ -532,6 +534,18 @@ def run_scale_probe(sf_dir: str, cpus: int, only: list[str] | None = None) -> No
             "semdedup_lsh",
             lambda f: _synthetic_embeddings(spark, 5_000 * f),
             lambda df: semdedup_lsh(df, n_planes=None, threshold=0.3),
+        ),
+        (
+            # linear by construction: two bucket-count aggregates, a
+            # <=B-row broadcast ratio table, one per-doc integer sum —
+            # curvature confirms no hidden gram-wide shuffle appears
+            "dsir_select",
+            lambda f: _mutated_docs(spark, sf_dir, f),
+            lambda df: dsir_select(
+                df.filter(F.col("doc_id") % 11 != 0),
+                df.filter(F.col("doc_id") % 11 == 0),
+                k=50,
+            ),
         ),
         (
             # benchmark side grows with the corpus (same %50 rule the

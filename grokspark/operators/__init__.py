@@ -34,6 +34,10 @@ from grokspark.operators.dedup import (
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from grokspark.operators.dsir import (
+    dsir_select,
+    dsir_weights,
+)
 from grokspark.operators.ivf import (
     build_ivf_index,
     ivf_topk,
@@ -102,6 +106,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_vs",
+    "dsir_select",
+    "dsir_weights",
     "semdedup",
     "semdedup_join",
     "semdedup_lsh",

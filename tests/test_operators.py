@@ -891,3 +891,31 @@ def test_semdedup_lsh_matches_fold_twin(spark, emb):
     assert [tuple(r) for r in fast] == [tuple(r) for r in twin]
     kept = sum(r["kept"] for r in fast)
     assert 0 < kept < len(fast)
+
+
+def test_dsir_weights_match_python_twin(spark, docs):
+    """Distributed DSIR weights equal the single-process twin exactly
+    (integer micro-nat sums — the per-bucket quantization makes the
+    per-doc weight an exact integer, immune to sum order), and the
+    top-k selection is the twin's ranking."""
+    from grokspark.operators import dsir_select, dsir_weights
+    from grokspark.operators.dsir import dsir_weights_py
+
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_micro"])
+        for r in dsir_weights(raw, target, n_buckets=512).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    want = dsir_weights_py(
+        [t for t in rows if t[0] % 11 != 0],
+        [t for t in rows if t[0] % 11 == 0],
+        n_buckets=512,
+    )
+    assert got == want
+    top = dsir_select(raw, target, k=10, n_buckets=512).collect()
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert [(r["doc_id"], r["weight_micro"]) for r in top] == [
+        (i, wm) for i, (_, wm) in want_top
+    ]
