@@ -664,6 +664,30 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_PAIRS_CACHE: dict[tuple, tuple] = {}
+_DSIR_WEIGHTS_CACHE: dict[tuple, tuple] = {}
+
+
+def _dsir_weights_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-process cache of the DSIR weights table: dsir_select and
+    dsir_resample consume the SAME weights (the two corpus-scale
+    bucket-count aggregates dominate their cost — same sharing
+    rationale as _doc_pairs). Materialized via localCheckpoint, so the
+    cached plan is session-bound (session guard below); the bench
+    clears this cache per sample so it still measures full builds."""
+    from grokspark.operators import dsir_weights
+
+    key = (sf_dir, 4096)
+    hit = _DSIR_WEIGHTS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _read(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs.filter(F.col("doc_id") % 11 != 0),
+        docs.filter(F.col("doc_id") % 11 == 0),
+        n_buckets=DSIR_BUCKETS,
+    ).localCheckpoint()
+    _DSIR_WEIGHTS_CACHE[key] = (spark, w)
+    return w
 
 
 def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,15 +986,38 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-50. Target domain proxy = doc_id % 11 == 0, raw
     = the rest. Rounding margins at this corpus: 3.1e-3 micro-units
     (vs ~1e-9 ln-ulp noise); rank-50 cut separated by 1.6e5."""
-    from grokspark.operators import dsir_select
+    w = _dsir_weights_shared(spark, sf_dir)
+    return (
+        w.orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc())
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("weight_micro").cast("long").alias("weight_micro"),
+        )
+    )
 
-    docs = _read(spark, sf_dir, "documents")
-    target = docs.filter(F.col("doc_id") % 11 == 0)
-    raw = docs.filter(F.col("doc_id") % 11 != 0)
-    return dsir_select(raw, target, k=DSIR_K, n_buckets=DSIR_BUCKETS).select(
-        "doc_id",
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("weight_micro").cast("long").alias("weight_micro"),
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule — Gumbel-top-k importance
+    resampling without replacement: key = weight_micro + seeded
+    integer micro-nat Gumbel noise (salted md5 uniform; rounding
+    margins 2.1e-5 micro-units vs ~1e-8 ln noise, measured), take
+    the k largest. Exact integer keys -> engine-independent ranking."""
+    from grokspark.operators.dsir import gumbel_micro_col
+
+    w = _dsir_weights_shared(spark, sf_dir)
+    keyed = w.withColumn(
+        "key_micro", F.col("weight_micro") + gumbel_micro_col("doc_id")
+    )
+    return (
+        keyed.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            F.col("weight_micro").cast("long").alias("weight_micro"),
+            F.col("key_micro").cast("long").alias("key_micro"),
+        )
     )
 
 
@@ -1926,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dsir_select": q_dsir_select,
+        "dsir_resample": q_dsir_resample,
         "semdedup": q_semdedup,
         "semdedup_lsh": q_semdedup_lsh,
         "ann_topk": q_ann_topk,
@@ -2043,6 +2091,54 @@ def _reservoir_sample_oracle_sql() -> str:
         ) WHERE rn <= {RESERVOIR_K}
         GROUP BY source
     """
+
+
+# shared weights CTE for the two DSIR oracles: md5-48 buckets,
+# add-one smoothing, per-bucket micro-nat log ratios over ALL buckets,
+# exact integer per-doc sums (w: doc_id, n_grams, weight_micro)
+_DSIR_WEIGHTS_CTE_TMPL = """
+    WITH d AS (
+      SELECT doc_id, {lwords} AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+                    ELSE []::VARCHAR[] END)) AS gram
+      FROM d
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('dsir:' || gram), 1, 12)) AS BIGINT)
+               % {nb} AS bucket,
+             doc_id % 11 = 0 AS is_tgt
+      FROM g
+    ), tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE is_tgt GROUP BY 1),
+    rc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE NOT is_tgt GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS nt,
+                   (SELECT COALESCE(SUM(c), 0) FROM rc) AS nr),
+    lr AS (
+      SELECT r.range AS bucket,
+             CAST(round(1000000.0 * (
+                ln((COALESCE(tc.c, 0) + 1.0) / (tot.nt + {nb}.0))
+              - ln((COALESCE(rc.c, 0) + 1.0) / (tot.nr + {nb}.0))
+             )) AS BIGINT) AS lr_micro
+      FROM range({nb}) r
+      LEFT JOIN tc ON tc.bucket = r.range
+      LEFT JOIN rc ON rc.bucket = r.range
+      CROSS JOIN tot
+    ), w AS (
+      SELECT b.doc_id, COUNT(*) AS n_grams,
+             SUM(lr.lr_micro) AS weight_micro
+      FROM b JOIN lr ON b.bucket = lr.bucket
+      WHERE NOT b.is_tgt
+      GROUP BY 1
+    )
+"""
+
+
+def _dsir_weights_cte() -> str:
+    return _DSIR_WEIGHTS_CTE_TMPL.format(lwords=_LWORDS, nb=DSIR_BUCKETS)
 
 
 def _centroid_dots_sql(k_cells: int) -> str:
@@ -2457,47 +2553,21 @@ def _oracle_sql_base() -> dict[str, str]:
         # DSIR: whole rule in SQL — same 48-bit md5 buckets, same
         # add-one smoothing, per-bucket micro-nat quantization, exact
         # integer per-doc sums, deterministic top-k
-        "dsir_select": f"""
-            WITH d AS (
-              SELECT doc_id, {_LWORDS} AS ws
-              FROM documents WHERE text IS NOT NULL
-            ), g AS (
-              SELECT doc_id,
-                     unnest(list_concat(ws,
-                       CASE WHEN len(ws) >= 2
-                            THEN [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
-                            ELSE []::VARCHAR[] END)) AS gram
-              FROM d
-            ), b AS (
-              SELECT doc_id,
-                     CAST(('0x' || substring(md5('dsir:' || gram), 1, 12)) AS BIGINT)
-                       % {DSIR_BUCKETS} AS bucket,
-                     doc_id % 11 = 0 AS is_tgt
-              FROM g
-            ), tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE is_tgt GROUP BY 1),
-            rc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE NOT is_tgt GROUP BY 1),
-            tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS nt,
-                           (SELECT COALESCE(SUM(c), 0) FROM rc) AS nr),
-            lr AS (
-              SELECT r.range AS bucket,
-                     CAST(round(1000000.0 * (
-                        ln((COALESCE(tc.c, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}.0))
-                      - ln((COALESCE(rc.c, 0) + 1.0) / (tot.nr + {DSIR_BUCKETS}.0))
-                     )) AS BIGINT) AS lr_micro
-              FROM range({DSIR_BUCKETS}) r
-              LEFT JOIN tc ON tc.bucket = r.range
-              LEFT JOIN rc ON rc.bucket = r.range
-              CROSS JOIN tot
-            ), w AS (
-              SELECT b.doc_id, COUNT(*) AS n_grams,
-                     SUM(lr.lr_micro) AS weight_micro
-              FROM b JOIN lr ON b.bucket = lr.bucket
-              WHERE NOT b.is_tgt
-              GROUP BY 1
-            )
+        "dsir_select": _dsir_weights_cte() + f"""
             SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                    CAST(weight_micro AS BIGINT) AS weight_micro
             FROM w ORDER BY weight_micro DESC, doc_id ASC LIMIT {DSIR_K}
+        """,
+        # the paper's Gumbel-top-k resampling: same weights CTE plus
+        # the seeded integer micro-nat Gumbel key
+        "dsir_resample": _dsir_weights_cte() + f"""
+            SELECT doc_id, CAST(weight_micro AS BIGINT) AS weight_micro,
+                   CAST(weight_micro + CAST(round(1000000.0 * (
+                     -ln(-ln((CAST(('0x' || substring(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+                              / 281474976710656.0))
+                   )) AS BIGINT) AS BIGINT) AS key_micro
+            FROM w
+            ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
         """,
         "semdedup": _semdedup_oracle_sql(SEMDEDUP_CELLS, SEMDEDUP_THRESHOLD),
         "semdedup_lsh": f"""

@@ -233,7 +233,13 @@ def run_bench(
                 reset=entry._DOC_PAIRS_CACHE.clear
                 if name.startswith("dedup_") or name == "corpus_prepare"
                 else (
-                    entry._LM_CACHE.clear if name.startswith("lm_") else None
+                    entry._LM_CACHE.clear
+                    if name.startswith("lm_")
+                    else (
+                        entry._DSIR_WEIGHTS_CACHE.clear
+                        if name.startswith("dsir_")
+                        else None
+                    )
                 ),
             ),
             2,

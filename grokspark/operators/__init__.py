@@ -35,6 +35,7 @@ from grokspark.operators.dedup import (
     simhash_signatures,
 )
 from grokspark.operators.dsir import (
+    dsir_resample,
     dsir_select,
     dsir_weights,
 )
@@ -106,6 +107,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_vs",
+    "dsir_resample",
     "dsir_select",
     "dsir_weights",
     "semdedup",

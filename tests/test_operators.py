@@ -919,3 +919,28 @@ def test_dsir_weights_match_python_twin(spark, docs):
     assert [(r["doc_id"], r["weight_micro"]) for r in top] == [
         (i, wm) for i, (_, wm) in want_top
     ]
+
+
+def test_dsir_resample_matches_gumbel_twin(spark, docs):
+    """Gumbel-top-k resampling: key = exact integer weight + exact
+    integer seeded Gumbel micro-nats; ranking equals the pure-Python
+    twin and differs from the deterministic top-k (the noise matters)."""
+    from grokspark.operators import dsir_resample, dsir_select
+    from grokspark.operators.dsir import dsir_weights_py, gumbel_micro_py
+
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    got = dsir_resample(raw, target, k=10, n_buckets=512).collect()
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    w = dsir_weights_py(
+        [t for t in rows if t[0] % 11 != 0],
+        [t for t in rows if t[0] % 11 == 0],
+        n_buckets=512,
+    )
+    keyed = sorted(
+        ((i, wm + gumbel_micro_py(i)) for i, (_, wm) in w.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert [(r["doc_id"], r["key_micro"]) for r in got] == keyed
+    det = [r["doc_id"] for r in dsir_select(raw, target, k=10, n_buckets=512).collect()]
+    assert [r["doc_id"] for r in got] != det
