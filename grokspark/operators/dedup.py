@@ -273,6 +273,24 @@ def _candidates_from_banded(banded: DataFrame) -> DataFrame:
     )
 
 
+_MASK_SLOTS = 8  # 512-bit gram bloom mask (8 longs) per document
+
+
+def _mask_aggs(n_slots: int = _MASK_SLOTS) -> list:
+    """Aggregate expressions building a ``n_slots*64``-bit bloom mask
+    over a column named ``h`` (one exploded gram hash per row): gram g
+    sets bit ``pmod(h,64)`` of slot ``pmod(h, bits) div 64``. The mask
+    supports an EXACT union bound (see ``minhash_lsh_pairs``)."""
+    bits = n_slots * 64
+    return [
+        F.expr(
+            f"bit_or(IF(pmod(h, {bits}) DIV 64 = {i}, "
+            f"shiftleft(1L, int(pmod(h, 64))), 0L))"
+        ).alias(f"b{i}")
+        for i in range(n_slots)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -282,82 +300,151 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    broadcast_max_docs: int = 5_000_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
-    Three narrow stages, none of which shuffles gram arrays multiplied
-    by the band count:
+    Candidate generation is unchanged (band explode + bucket self-join
+    over ``(id, band_id, band_hash)`` only — identical band hashes,
+    identical candidate recall). What changed in round 6 is everything
+    AFTER candidates, because at scale the r=2 bands' false-positive
+    rate makes candidates the dominant term (measured sf1.0/50k docs:
+    78.5M candidate pairs for 2,544 true pairs, and shipping ~600 B
+    gram arrays per candidate through two shuffle joins was ~80% of a
+    127 s runtime):
 
-    1. candidates: band explode + bucket self-join over
-       ``(id, band_id, band_hash)`` only (~24 bytes/row through the
-       ×bands shuffle), then distinct id-pairs;
-    2. gram rejoin: the candidate pairs (tiny relative to the corpus)
-       join the per-document shingle sets back TWICE on id — two narrow
-       joins, each moving every gram array at most once;
-    3. exact verify: true n-gram Jaccard >= threshold.
+    1. grams are carried as xxhash64 LONGS (``gh``), not strings — the
+       signature path already hashed every gram, so the verify now
+       intersects the same longs (intersection size is exact modulo
+       64-bit collisions, ~1e-16/pair; output verified equal to the
+       string path on all testdata sfs);
+    2. a 512-bit bloom mask per document (8 longs, built in the SAME
+       groupBy as the 128 signature mins) gives a deterministic bound:
+       every gram of A∪B sets a bit of maskA|maskB, so
+       ``union >= P := popcount(maskA|maskB)`` and
+       ``jaccard <= (na+nb-P)/P`` EXACTLY — no false negatives. The
+       precheck keeps a pair only when ``na+nb >= (1+t)*P`` (plus the
+       free size-ratio bound ``min(na,nb) >= t*max(na,nb)``). Measured
+       at sf1.0 it prunes 78.5M candidates to the 2,544 true pairs
+       before any array is touched;
+    3. the precheck tables are NARROW (id, ng, 8 mask longs ≈ 80 B/doc)
+       and broadcast when the corpus is below ``broadcast_max_docs``
+       (~400 MB at the default; beyond that the precheck falls back to
+       shuffle joins, still narrow). Survivors are distinct-ed and then
+       verified by streaming the gram-hash table against the BROADCAST
+       survivor set — the gram arrays never enter any exchange.
 
-    The ``(id, grams)`` shingle table feeds three consumers (the
-    signature explode plus both verify branches), and the shingle
-    expression is the dominant map-side cost of the whole op — so by
-    default it is evaluated ONCE and materialized (``localCheckpoint``;
-    a durable checkpoint/table on a real cluster), the same discipline
-    as ``duplicate_clusters``'s edge set. ``materialize=False`` keeps
-    the op fully lazy (3x recompute). Measured at sf0.1/local[32]:
-    14.9 s -> ~3 s together with the gram-stage parallelism fix.
+    Measured sf1.0/local[32]: 127 s -> 17 s, identical 2,544-pair
+    output; sf0.1 4.1 s -> ~2.5 s.
+
+    ``materialize=True`` localCheckpoints the gram table, the
+    signature+mask table and the survivor set (the op is eager, same
+    discipline as before); ``materialize=False`` keeps the op fully
+    lazy (documented recompute, used by laziness-sensitive callers).
 
     Precision is exact (every emitted pair is verified); recall is the
     LSH collision probability 1-(1-s^r)^b — pick bands/num_hashes for
     the target threshold (bands=64, num_hashes=128 makes misses at
     s>=0.5 ~1e-8, used by the driver oracle query)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        ngrams(F.col(text_col), n).alias("grams"),
-    ).withColumn("ng", F.size("grams"))
+        F.transform(ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+            "gh"
+        ),
+    )
     if materialize:
         grams = grams.localCheckpoint()
-    sig = _signature_table_from_grams(grams, num_hashes)
-    banded = _band_buckets_from_sig(sig, num_hashes, bands)
+    hashed = grams.select("id", F.explode("gh").alias("h"))
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+        *_mask_aggs(),
+        F.count(F.lit(1)).cast("int").alias("ng"),
+    )
     if materialize:
-        # the band table is read by BOTH sides of the candidate
-        # self-join; without this the whole explode+hash+128-min-agg
-        # chain executes twice (ReusedExchange does not always cover
-        # the post-agg projection). Narrow rows: 24 bytes x bands/doc.
-        banded = banded.localCheckpoint()
-    # spread the verify stage across the full shuffle width: the
-    # candidate rows are narrow (16 bytes), so AQE's byte-based
-    # coalescing squeezes the join down to a handful of tasks — but the
-    # per-row cost here is the gram-set intersect (CPU, not bytes).
-    # Explicitly hash-partitioning the pairs on id_a at the configured
-    # shuffle width restores full parallelism (measured 5.4x on the
-    # verify stage at sf0.1/local[32]); it is the same exchange the
-    # join would perform anyway, minus the runtime coalesce.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cands = _candidates_from_banded(banded).repartition(n_part, "id_a")
-    joined = (
-        cands.join(
-            grams.select(
-                F.col("id").alias("id_a"),
-                F.col("grams").alias("grams_a"),
-                F.col("ng").alias("na"),
-            ),
-            "id_a",
-        )
+        # one 50k-row-scale table feeds the band projection (read by
+        # both sides of the candidate self-join) AND the precheck
+        # tables — checkpoint it once so the explode + 128-min
+        # aggregate runs exactly once.
+        sig = sig.localCheckpoint()
+    use_broadcast = True
+    if materialize and broadcast_max_docs is not None:
+        use_broadcast = grams.count() <= broadcast_max_docs
+    banded = _band_buckets_from_sig(
+        sig.select("id", *[f"m{i}" for i in range(num_hashes)]),
+        num_hashes,
+        bands,
+    )
+    # candidate self-join: explicit repartition pins the exchange at
+    # the full shuffle width (narrow 24 B rows — AQE's byte-based
+    # coalescing would squeeze the CPU-heavy precheck stage fused
+    # above it down to a handful of tasks; CLAUDE.md measured 5.4x)
+    a, b = banded.alias("a"), banded.alias("b")
+    pre = (
+        a.repartition(n_part, "band_id", "band_hash")
         .join(
-            grams.select(
-                F.col("id").alias("id_b"),
-                F.col("grams").alias("grams_b"),
-                F.col("ng").alias("nb"),
-            ),
-            "id_b",
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    slots = [f"b{i}" for i in range(_MASK_SLOTS)]
+    ptab = sig.select("id", "ng", *slots)
+    pa = ptab.select(
+        F.col("id").alias("id_a"),
+        F.col("ng").alias("na"),
+        *[F.col(s).alias(f"a_{s}") for s in slots],
+    )
+    pb = ptab.select(
+        F.col("id").alias("id_b"),
+        F.col("ng").alias("nb"),
+        *[F.col(s).alias(f"b_{s}") for s in slots],
+    )
+    if use_broadcast:
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
+    else:
+        pre = pre.repartition(n_part, "id_a")
+    popcount_or = sum(
+        F.bit_count(F.col(f"a_{s}").bitwiseOR(F.col(f"b_{s}"))) for s in slots
+    )
+    prechecked = (
+        pre.join(pa, "id_a")
+        .join(pb, "id_b")
+        # jaccard <= (na+nb-P)/P  (exact: P is a union lower bound)
+        .filter(
+            (F.col("na") + F.col("nb")).cast("double")
+            >= (1.0 + threshold) * popcount_or
+        )
+        # jaccard <= min/max (exact size-ratio bound)
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= threshold * F.greatest("na", "nb")
         )
     )
+    cands = prechecked.select("id_a", "id_b").dropDuplicates()
+    if materialize:
+        cands = cands.localCheckpoint()
+    # verify: stream the gram-hash table, broadcast the (tiny) survivor
+    # set — gram arrays never cross an exchange
+    cand_b = F.broadcast(cands) if use_broadcast else cands
+    left = grams.join(cand_b, F.col("id") == F.col("id_a")).select(
+        "id_a", "id_b", F.col("gh").alias("ha")
+    )
+    left_b = F.broadcast(left) if use_broadcast else left
+    ver = grams.join(left_b, F.col("id") == F.col("id_b")).select(
+        "id_a", "id_b", "ha", F.col("gh").alias("hb")
+    )
     # |A u B| = |A| + |B| - |A n B| (gram arrays are distinct-element),
-    # so one array_intersect does the work of intersect + union — the
-    # union evaluation was half the verify stage's CPU
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = (F.col("na") + F.col("nb") - inter).cast("double")
+    # so one array_intersect does the work of intersect + union
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = (F.size("ha") + F.size("hb") - inter).cast("double")
     return (
-        joined.withColumn("jaccard", inter.cast("double") / union)
+        ver.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -137,6 +137,38 @@ def test_minhash_candidate_stage_never_shuffles_grams(spark, sf_dir):
             assert "grams" not in line, line
 
 
+def test_minhash_verify_never_shuffles_gram_arrays(spark, sf_dir):
+    """Round-6 invariant: the gram-HASH arrays (``gh``) feed the
+    signature aggregate map-side and the final verify via BROADCAST
+    joins only — no Exchange in the full pair plan may carry them.
+    (The old plan shuffled ~600 B of gram array per candidate pair
+    through two joins; at sf1.0 that was 78.5M candidates and ~80% of
+    a 127 s runtime.)"""
+    import re
+
+    from grokspark.operators import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize=False keeps the WHOLE pipeline in one lazy plan so
+    # every exchange is visible (the default eager mode splits it into
+    # checkpointed jobs whose final plan has no exchange at all)
+    plan = explain_str(
+        minhash_lsh_pairs(docs, n=2, bands=64, materialize=False), "formatted"
+    )
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [
+        b
+        for b in blocks
+        if b.splitlines()[0].split(" ", 1)[-1].startswith("Exchange")
+    ]
+    assert exchanges, "no exchange found — plan shape changed"
+    for b in exchanges:
+        detail = " ".join(
+            l for l in b.splitlines() if l.startswith(("Input", "Arguments"))
+        )
+        assert "gh#" not in detail and "ha#" not in detail and "hb#" not in detail, b
+
+
 def test_ann_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     """lsh_index_topk over the materialized bucket-partitioned index
     must push the probe set into PartitionFilters (real pruning: the
