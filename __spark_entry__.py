@@ -676,7 +676,7 @@ def _dsir_weights_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears this cache per sample so it still measures full builds."""
     from grokspark.operators import dsir_weights
 
-    key = (sf_dir, 4096)
+    key = (sf_dir, DSIR_BUCKETS)
     hit = _DSIR_WEIGHTS_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]

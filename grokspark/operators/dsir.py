@@ -88,10 +88,16 @@ def dsir_bucket_counts(
     df: DataFrame, text_col: str, n_buckets: int
 ) -> DataFrame:
     """``(bucket, cnt)`` gram-bucket histogram of a corpus — one
-    explode + one hash-aggregate (map-side combined)."""
-    grams = df.where(F.col(text_col).isNotNull()).select(
-        F.explode(dsir_gram_col(F.col(text_col))).alias("gram")
-    )
+    explode + one hash-aggregate (map-side combined). The input is
+    spread across the core pool first: a small local corpus is one
+    parquet split and the explode+md5 projection would otherwise run
+    single-core (measured 8.5 s of the 34 s sf1.0 build; no-op on a
+    cluster where scan splits >> cores)."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
+    grams = _ensure_parallelism(
+        df.where(F.col(text_col).isNotNull())
+    ).select(F.explode(dsir_gram_col(F.col(text_col))).alias("gram"))
     return (
         grams.select(dsir_bucket_col(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy("bucket")
@@ -140,21 +146,40 @@ def dsir_weights(
     """``(id_col, n_grams, weight_micro)`` for every raw document with
     non-NULL text: the exact-integer sum of broadcast per-bucket
     log-ratio micro-nats over the doc's grams."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     spark = raw_df.sparkSession
-    if ratio is None:
-        ratio = dsir_log_ratio_table(
-            spark,
-            dsir_bucket_counts(target_df, text_col, n_buckets),
-            dsir_bucket_counts(raw_df, text_col, n_buckets),
-            n_buckets,
-        )
-    grams = raw_df.where(F.col(text_col).isNotNull()).select(
+    grams = _ensure_parallelism(
+        raw_df.where(F.col(text_col).isNotNull())
+    ).select(
         F.col(id_col),
         F.explode(dsir_gram_col(F.col(text_col))).alias("gram"),
     )
     bucketed = grams.select(
         id_col, dsir_bucket_col(F.col("gram"), n_buckets).alias("bucket")
     )
+    if ratio is None:
+        # One raw-corpus gram pass, not three: the salted-md5 bucket
+        # projection is the dominant map cost (ADVICE r5 — the lazy
+        # raw_counts plan re-ran the full explode+aggregate for the
+        # n_r total AND again for the ratio join, and the weights
+        # explode was a third pass). Materialize the narrow
+        # (id, bucket) table once; the histogram, its total and the
+        # per-doc weight sum all read from it. The tiny aggregates
+        # (<= n_buckets rows) are checkpointed too so totals and the
+        # ratio join share one materialization.
+        bucketed = bucketed.localCheckpoint()
+        raw_counts = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()
+        )
+        target_counts = dsir_bucket_counts(
+            target_df, text_col, n_buckets
+        ).localCheckpoint()
+        ratio = dsir_log_ratio_table(
+            spark, target_counts, raw_counts, n_buckets
+        )
     return (
         bucketed.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
