@@ -1214,20 +1214,30 @@ def _c4_page_col(text, did):
     the character-exact twin."""
     ws = F.split(F.trim(text), r"\s+")
     n = F.size(ws)
-    nl = F.floor((n + F.lit(6)) / F.lit(7)).cast("int")
 
-    def line(i):
-        j = i - 1  # 0-based line index for the modular tags
-        base = F.array_join(F.slice(ws, j * 7 + 1, 7), " ")
-        base = F.when(
-            F.pmod(did + F.lit(31) * j, 11) == 0,
-            F.concat(base, F.lit(" embedded JavaScript snippet")),
-        ).otherwise(base)
-        return F.when(
-            F.pmod(did + j, 4) != 3, F.concat(base, F.lit("."))
-        ).otherwise(base)
+    # One O(words) zip_with pass: word k carries its separator — " "
+    # inside a line, or the line's suffix (tags + "." + "\n") when it
+    # closes line j = k div 7. The previous form took a slice PER LINE
+    # (the O(words^2) interpreted pattern ngrams' docstring warns
+    # about) and was ~5 s single-core at sf1.0 for a byte-identical
+    # string (twin-checked on every sf).
+    def piece(w, k):
+        j = F.floor(k / F.lit(7))
+        line_end = (F.pmod(k + 1, 7) == 0) | (k == n - 1)
+        js = F.pmod(did + F.lit(31) * j, 11) == 0
+        period = F.pmod(did + j, 4) != 3
+        suffix = F.concat(
+            F.when(js, F.lit(" embedded JavaScript snippet")).otherwise(
+                F.lit("")
+            ),
+            F.when(period, F.lit(".")).otherwise(F.lit("")),
+            F.when(k == n - 1, F.lit("")).otherwise(F.lit("\n")),
+        )
+        return F.concat(w, F.when(line_end, suffix).otherwise(F.lit(" ")))
 
-    page = F.array_join(F.transform(F.sequence(F.lit(1), nl), line), "\n")
+    page = F.array_join(
+        F.zip_with(ws, F.sequence(F.lit(0), n - 1), piece), ""
+    )
     page = F.when(
         F.pmod(did, 17) == 0,
         F.concat(page, F.lit("\nlorem ipsum dolor sit amet obscura.")),
@@ -1294,8 +1304,11 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in.  Oracle: the pure-Python twin over the same parquet, as
     VALUES."""
     from grokspark.operators.clean import c4_clean
+    from grokspark.operators.dedup import _ensure_parallelism
 
-    docs = _read(spark, sf_dir, "documents")
+    # spread the single-split local scan BEFORE the page projection so
+    # the fabrication + cleaning chain runs on the full core pool
+    docs = _ensure_parallelism(_read(spark, sf_dir, "documents"))
     pages = docs.select(
         "doc_id", _c4_page_col(F.col("text"), F.col("doc_id")).alias("text")
     )

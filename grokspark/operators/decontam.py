@@ -65,10 +65,18 @@ def decontaminate(
     training document sharing >= 1 word n-gram with the benchmark set,
     ``n_hits`` = number of DISTINCT shared grams. Exact (hash
     candidates, string-verified)."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     bench = benchmark_grams(bench_df, n, text_col)
 
+    # both corpus passes are scan-fused ngram explodes — spread the
+    # single-split local scan across the pool first (no-op on a
+    # cluster); the explode + zip_with shingle chain was running
+    # single-core at sf1.0 (one parquet row group)
+    train_wide = _ensure_parallelism(train_df)
+
     # corpus pass: 8-byte hashes only through the explode
-    train_hashes = train_df.select(
+    train_hashes = train_wide.select(
         F.col(id_col),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     ).select(id_col, F.xxhash64("gram").alias("h"))
@@ -79,7 +87,9 @@ def decontaminate(
     )
 
     # verify pass: gram strings, but only for candidate documents
-    candidate_docs = train_df.join(candidate_ids, id_col, "left_semi")
+    candidate_docs = train_wide.join(
+        F.broadcast(candidate_ids), id_col, "left_semi"
+    )
     cand_grams = candidate_docs.select(
         F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram")
     )
