@@ -214,8 +214,11 @@ def word_counts_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-scale pass of BPE training (explode + partial/final count
     aggregate; the exchange carries (word, partial count), never
     text)."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     return (
-        df.select(F.explode(_pieces_col(F.col(text_col))).alias("word"))
+        _ensure_parallelism(df)
+        .select(F.explode(_pieces_col(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -268,7 +271,9 @@ def apply_bpe(
             out.append(pieces)
         return pd.Series(out)
 
-    return df.withColumn(out_col, bpe(F.col(text_col)))
+    from grokspark.operators.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df).withColumn(out_col, bpe(F.col(text_col)))
 
 
 def apply_bpe_ids(
@@ -305,4 +310,6 @@ def apply_bpe_ids(
             out.append(ids)
         return pd.Series(out)
 
-    return df.withColumn(out_col, bpe_ids(F.col(text_col)))
+    from grokspark.operators.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df).withColumn(out_col, bpe_ids(F.col(text_col)))

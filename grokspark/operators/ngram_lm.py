@@ -99,14 +99,30 @@ def train_bigram_lm(
     text_col: str = "text",
     max_vocab: Optional[int] = None,
     max_bigrams: Optional[int] = None,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Count-train the LM: returns ``(unigrams(w1, cnt),
     bigrams(w1, w2, cnt))``.  One wide aggregate each; the optional
     caps keep the tables broadcastable at corpus scale (the top-K
     window is over the ALREADY-AGGREGATED Heaps-bounded key table, not
-    the corpus)."""
+    the corpus).
+
+    ``materialize`` (default, the repo's eager-heavy-op convention)
+    localCheckpoints the tokenized words table so the corpus is
+    scanned and split ONCE — both count aggregates read the
+    materialization instead of re-running the scan+split each
+    (measured: the double pass was most of the sf1.0 train cost).
+    ``materialize=False`` keeps the op fully lazy."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     w = lm_words(F.col(text_col))
-    base = df.filter(F.col(text_col).isNotNull()).select(w.alias("_w"))
+    # spread a single-split local scan so both count aggregates run at
+    # full width (no-op on a cluster where scan splits >> cores)
+    base = _ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(w.alias("_w"))
+    if materialize:
+        base = base.localCheckpoint()
     uni = (
         base.select(F.explode("_w").alias("w1"))
         .groupBy("w1")
@@ -139,9 +155,11 @@ def perplexity_scores(
     length first — see ``quality_scores``).  Pass ``vocab_size``
     (= ``unigrams.count()``) to skip the counting job when the caller
     already materialized the model."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     v = (vocab_size if vocab_size is not None else unigrams.count()) + 1
     toks = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_w"))
         .filter(F.size("_w") >= 2)
         .select("id", F.explode(bigrams_col(F.col("_w"))).alias("_g"))
@@ -193,8 +211,10 @@ def familiarity_scores(
     division of two BIGINTs (bit-equal across engines).  Low
     familiarity = rare word sequences, the same tail a perplexity
     filter trims; exact at any scale without FP-parity caveats."""
+    from grokspark.operators.dedup import _ensure_parallelism
+
     toks = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_w"))
         .filter(F.size("_w") >= 2)
         .select("id", F.explode(bigrams_col(F.col("_w"))).alias("_g"))

@@ -65,9 +65,11 @@ def bm25_postings(
 ) -> DataFrame:
     """Inverted postings ``(id, term, tf, dl)`` — lowercased ASCII-
     whitespace terms (the shared ``lm_words`` convention), one shuffle."""
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_ws")
-    )
+    from grokspark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_ws"))
     toks = base.select(
         "id",
         F.size("_ws").cast("long").alias("dl"),

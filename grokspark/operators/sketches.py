@@ -193,10 +193,14 @@ def heavy_hitter_tokens(
 ) -> DataFrame:
     """Heavy-hitter WORDS of a text corpus (lowercased ASCII-whitespace
     tokens, the shared ``lm_words`` convention): ``(term, cnt)``."""
+    from grokspark.operators.dedup import _ensure_parallelism
     from grokspark.operators.ngram_lm import lm_words
 
+    # spread a single-split local scan: both Misra-Gries passes explode
+    # from this plan, and one partition means one Arrow worker in pass
+    # 1 (no-op on a cluster)
     toks = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
         .select(F.explode(lm_words(F.col(text_col))).alias("term"))
     )
     return heavy_hitters(toks, "term", phi_ppm=phi_ppm, k=k)
