@@ -972,7 +972,10 @@ def _semdedup_cells(
 ) -> DataFrame:
     from grokspark.operators.ivf import ivf_assign_col
 
-    return df.select(
+    # spread a single-split local scan: the k x dim argmax-dot
+    # assignment is an interpreted expression chain and would run on
+    # one core (no-op on a cluster)
+    return _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         ivf_assign_col(vec_col, centroids).alias("cell"),
@@ -1124,7 +1127,7 @@ def semdedup_lsh(
     )
     dim = df.select(F.size(F.col(vec_col))).head()[0]
     planes = hyperplanes(dim, n_planes, seed)
-    cells = df.select(
+    cells = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(vec_col, planes).cast("int").alias("cell"),
