@@ -57,9 +57,15 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
       KMV, relative error ~1/sqrt(k-2)."""
     if not 2 <= k <= (1 << 20):
         raise ValueError(f"k must be in [2, 2^20], got {k}")
+    from grokspark.operators.dedup import _ensure_parallelism
+
     space = 1 << KMV_SPACE_BITS
+    # project the key column FIRST, then spread a single-split local
+    # scan so the md5 pass runs at full width (narrow shuffle; no-op
+    # on a cluster)
     mins = (
-        df.select(kmv_hash_col(col).alias("h"))
+        _ensure_parallelism(df.select(F.col(col)))
+        .select(kmv_hash_col(col).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
