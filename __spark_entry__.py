@@ -882,8 +882,11 @@ def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators import semdedup_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
+    # dim=64 is the corpus embedding width (same literal the semdedup
+    # centroid query seeds with) — passing it skips the per-sample
+    # dim-probe driver job (ADVICE r5)
     return semdedup_lsh(
-        emb, n_planes=SEMDEDUP_LSH_PLANES, threshold=SEMDEDUP_THRESHOLD
+        emb, n_planes=SEMDEDUP_LSH_PLANES, threshold=SEMDEDUP_THRESHOLD, dim=64
     )
 
 

@@ -85,6 +85,32 @@ def ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(size >= n, grams).otherwise(short))
 
 
+def ngram_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram identities as 64-bit hashes, WITHOUT ever
+    building the gram strings: the hash of gram (w_i..w_{i+n-1}) is the
+    left fold ``xxhash64(...xxhash64(xxhash64(w_i), w_{i+1})...)``.
+    Words contain no whitespace (``\\s+`` split), so a gram string
+    "w1 w2" decomposes uniquely into its word tuple — tuple identity
+    EQUALS string identity, and set sizes/intersections over these
+    hashes equal the string-gram ones modulo 64-bit collisions
+    (~1e-16/pair; output verified equal to the string path on every
+    testdata sf). Skipping the concat_ws string build and hashing the
+    distinct pass on longs instead of strings measurably cuts the
+    dominant map cost of the MinHash path. Same short-document rule as
+    ``ngrams``: fewer than n words hash the whole text as one
+    shingle."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    size = F.size(w)
+    glen = size - (n - 1)
+    hs = F.transform(F.slice(w, 1, glen), lambda x: F.xxhash64(x))
+    for j in range(1, n):
+        hs = F.zip_with(
+            hs, F.slice(w, j + 1, glen), lambda acc, b: F.xxhash64(acc, b)
+        )
+    short = F.array(F.xxhash64(F.array_join(w, " ")))
+    return F.array_distinct(F.when(size >= n, hs).otherwise(short))
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -349,9 +375,7 @@ def minhash_lsh_pairs(
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.transform(ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
-            "gh"
-        ),
+        ngram_hashes(F.col(text_col), n).alias("gh"),
     )
     if materialize:
         grams = grams.localCheckpoint()
@@ -1076,9 +1100,18 @@ def _semdedup_prune(
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
         V = np.array(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 vs everything
+        zero = (norms == 0.0).ravel()
+        norms[zero] = 1.0
         N = V / norms
         S = N @ N.T
+        # zero-vector edge matches the fold/oracle semantics (ADVICE
+        # r5): their cosine is 0/0 = NaN, and NaN compares ABOVE every
+        # double in Spark SQL and DuckDB, so a zero-vector pair
+        # satisfies ">= threshold" there; numpy would say False. Force
+        # +inf on both axes of zero rows so all three paths agree.
+        if zero.any():
+            S[zero, :] = np.inf
+            S[:, zero] = np.inf
         dropped = np.tril(S >= thr, -1).any(axis=1)
         return pd.DataFrame(
             {
@@ -1102,6 +1135,7 @@ def semdedup_lsh(
     id_col: str = "vec_id",
     seed: int = 42,
     target_cell_rows: int = 512,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup with SIGN-LSH cells instead of centroid cells — the
     assignment-cost fix the scale probe demanded: centroid assignment
@@ -1125,7 +1159,24 @@ def semdedup_lsh(
     n_planes = _resolve_n_planes(
         df, n_planes, "semdedup_lsh", target_bucket_rows=target_cell_rows
     )
-    dim = df.select(F.size(F.col(vec_col))).head()[0]
+    if dim is None:
+        # empty-input guard (ADVICE r5): head() returns None on an
+        # empty frame — return the empty decision table instead of a
+        # TypeError; callers that know the width pass ``dim`` and skip
+        # this probe job entirely
+        probe = df.select(F.size(F.col(vec_col))).head()
+        if probe is None:
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", df.schema[id_col].dataType),
+                        T.StructField("cell", T.IntegerType()),
+                        T.StructField("kept", T.IntegerType()),
+                    ]
+                ),
+            ).withColumnRenamed("id", id_col)
+        dim = probe[0]
     planes = hyperplanes(dim, n_planes, seed)
     cells = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),

@@ -265,13 +265,21 @@ def _bucket_py(gram: str, n_buckets: int) -> int:
     return int(h[:12], 16) % n_buckets
 
 
+
+def _round_half_up(x: float) -> int:
+    """HALF_UP (away from zero) — Spark F.round and DuckDB round()
+    semantics; Python round() is half-to-even, which could diverge on
+    an exact-.5 micro-nat tie (ADVICE r5 — the twins are the
+    margin-audit tool, so the tie rule must match the engines)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
 def gumbel_micro_py(doc_id, salt: str = GUMBEL_SALT) -> int:
     h = int(
         hashlib.md5((salt + ":" + str(doc_id)).encode("utf-8")).hexdigest()[:12],
         16,
     )
     u = (h + 0.5) / float(1 << 48)
-    return round(-math.log(-math.log(u)) * 1e6)
+    return _round_half_up(-math.log(-math.log(u)) * 1e6)
 
 
 def dsir_weights_py(
@@ -297,7 +305,7 @@ def dsir_weights_py(
             rc[b] = rc.get(b, 0) + 1
     n_t, n_r = sum(tc.values()), sum(rc.values())
     lr_micro = {
-        b: round(
+        b: _round_half_up(
             1e6
             * (
                 math.log((tc.get(b, 0) + 1.0) / (n_t + n_buckets))
