@@ -914,21 +914,37 @@ def dedup_corpus(
     )
     if collapse_exact:
         reps = ids.groupBy("_fp").agg(F.min("id").alias("rep_id"))
-        doc_rep = ids.join(reps, "_fp").select("id", "rep_id")
-        rep_docs = df.join(
-            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
-        )
+        # narrow (id, rep_id) map, checkpointed once: it feeds the
+        # representative set, the pair restriction and the final
+        # cluster rejoin — lazily each consumer re-ran the md5
+        # fingerprint aggregate (the reused-subplan pattern)
+        doc_rep = ids.join(reps, "_fp").select("id", "rep_id").localCheckpoint()
     else:
         doc_rep = ids.select("id", F.col("id").alias("rep_id"))
-        rep_docs = df
+    # representative ids come from the narrow map — no text join
+    rep_ids_frame = doc_rep.select("rep_id").distinct()
     if precomputed_pairs is not None:
-        rep_ids = rep_docs.select(F.col(id_col).alias("_rid"))
         pairs = (
             precomputed_pairs.join(
-                rep_ids.withColumnRenamed("_rid", "id_a"), "id_a", "left_semi"
-            ).join(rep_ids.withColumnRenamed("_rid", "id_b"), "id_b", "left_semi")
+                rep_ids_frame.withColumnRenamed("rep_id", "id_a"),
+                "id_a",
+                "left_semi",
+            ).join(
+                rep_ids_frame.withColumnRenamed("rep_id", "id_b"),
+                "id_b",
+                "left_semi",
+            )
         )
     else:
+        rep_docs = (
+            df.join(
+                rep_ids_frame.select(F.col("rep_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            if collapse_exact
+            else df
+        )
         pairs = minhash_lsh_pairs(
             rep_docs, threshold, n, num_hashes, bands, text_col, id_col
         )
