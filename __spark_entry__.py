@@ -1945,7 +1945,35 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS DELIBERATE (VERDICT r5 action #1): the round-5 driver
+    # gate checked exactly the FIRST 50 dict entries, leaving the 20
+    # tail queries without a driver-green row purely by construction
+    # order. The 20 previously-unchecked queries now lead (cheapest
+    # first), followed by the previously-checked 50 in their original
+    # relative order — if a future gate truncates again, it drops
+    # queries that already have green rows, not never-checked ones.
     return {
+        # previously unchecked (driver-gate priority)
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quantiles_tokens": q_quantiles_tokens,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "fingerprint": q_fingerprint,
+        "c4_clean": q_c4_clean,
+        "decontaminate": q_decontaminate,
+        "lm_familiarity": q_lm_familiarity,
+        "lm_perplexity": q_lm_perplexity,
+        "bm25_topk": q_bm25_topk,
+        "span_dedup": q_span_dedup,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "winnow_pairs": q_winnow_pairs,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "audio_features": q_audio_features,
+        "audio_resample": q_audio_resample,
+        "video_frame_features": q_video_frame_features,
         # grok pipeline family
         "grok_route_counts": q_grok_route_counts,
         "grok_route_counts_sf": q_grok_route_counts_sf,
@@ -1999,26 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "quantiles_tokens": q_quantiles_tokens,
-        "lang_id": q_lang_id,
-        "repetition": q_repetition,
-        "redact_pii": q_redact_pii,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_familiarity": q_lm_familiarity,
-        "span_dedup": q_span_dedup,
-        "c4_clean": q_c4_clean,
-        "bm25_topk": q_bm25_topk,
-        "decontaminate": q_decontaminate,
-        "fingerprint": q_fingerprint,
-        "fingerprint_winnow": q_fingerprint_winnow,
-        "winnow_pairs": q_winnow_pairs,
-        "multimodal_features": q_multimodal_features,
-        "audio_features": q_audio_features,
-        "audio_resample": q_audio_resample,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "video_frame_features": q_video_frame_features,
     }
 
 
