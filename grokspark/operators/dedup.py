@@ -177,18 +177,48 @@ def minhash_signature_from_grams(grams: Column, num_hashes: int = 128) -> Column
     )
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Spread a per-row expression stage across the full core pool: a
     small local input (one parquet split) would otherwise evaluate the
     whole map stage — the n-gram shingle expression is the dominant
     cost of the MinHash path, measured ~6 s single-core at sf0.1 — on
     one core. No-op when the input already has >= defaultParallelism
     partitions, which is always true at real scale (scan splits >>
-    cores), so no shuffle is added on a cluster."""
+    cores), so no shuffle is added on a cluster.
+
+    ``min_bytes``: only spread when the optimizer's input size
+    estimate reaches this many bytes. For operators whose per-row work
+    is CHEAP relative to bytes (a split+count, one md5), the spread's
+    shuffle costs more than single-core execution saves on tiny local
+    inputs (measured: heavy_hitters at sf0.1 0.72 s plain vs 1.19 s
+    spread, but 2.40 s plain vs 1.64 s spread at sf1.0 — the
+    crossover sits around a few MB). Expression-heavy operators
+    (MinHash shingles, rolling hashes, salted-md5 buckets) keep the
+    default 0 = always spread. An unknown estimate (e.g. a
+    localCheckpointed input) spreads — matching prior behavior."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    if min_bytes:
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            if est < min_bytes:
+                return df
+        except Exception:
+            pass
+    return df.repartition(p)
+
+
+# input-size floor for spreads guarding byte-cheap map work (see
+# _ensure_parallelism's min_bytes doc)
+SPREAD_MIN_BYTES = 4 * 1024 * 1024
 
 
 def _signature_table_from_grams(grams_df: DataFrame, num_hashes: int) -> DataFrame:
@@ -1014,8 +1044,9 @@ def _semdedup_cells(
 
     # spread a single-split local scan: the k x dim argmax-dot
     # assignment is an interpreted expression chain and would run on
-    # one core (no-op on a cluster)
-    return _ensure_parallelism(df).select(
+    # one core (no-op on a cluster; size-floored so tiny local inputs
+    # skip the shuffle)
+    return _ensure_parallelism(df, SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         ivf_assign_col(vec_col, centroids).alias("cell"),
@@ -1194,7 +1225,7 @@ def semdedup_lsh(
             ).withColumnRenamed("id", id_col)
         dim = probe[0]
     planes = hyperplanes(dim, n_planes, seed)
-    cells = _ensure_parallelism(df).select(
+    cells = _ensure_parallelism(df, SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_col(vec_col, planes).cast("int").alias("cell"),

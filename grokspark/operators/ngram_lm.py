@@ -113,13 +113,13 @@ def train_bigram_lm(
     materialization instead of re-running the scan+split each
     (measured: the double pass was most of the sf1.0 train cost).
     ``materialize=False`` keeps the op fully lazy."""
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
 
     w = lm_words(F.col(text_col))
     # spread a single-split local scan so both count aggregates run at
     # full width (no-op on a cluster where scan splits >> cores)
     base = _ensure_parallelism(
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(text_col).isNotNull()), SPREAD_MIN_BYTES
     ).select(w.alias("_w"))
     if materialize:
         base = base.localCheckpoint()
@@ -155,11 +155,13 @@ def perplexity_scores(
     length first — see ``quality_scores``).  Pass ``vocab_size``
     (= ``unigrams.count()``) to skip the counting job when the caller
     already materialized the model."""
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
 
     v = (vocab_size if vocab_size is not None else unigrams.count()) + 1
     toks = (
-        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        _ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull()), SPREAD_MIN_BYTES
+        )
         .select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_w"))
         .filter(F.size("_w") >= 2)
         .select("id", F.explode(bigrams_col(F.col("_w"))).alias("_g"))
@@ -211,10 +213,12 @@ def familiarity_scores(
     division of two BIGINTs (bit-equal across engines).  Low
     familiarity = rare word sequences, the same tail a perplexity
     filter trims; exact at any scale without FP-parity caveats."""
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
 
     toks = (
-        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        _ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull()), SPREAD_MIN_BYTES
+        )
         .select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_w"))
         .filter(F.size("_w") >= 2)
         .select("id", F.explode(bigrams_col(F.col("_w"))).alias("_g"))

@@ -65,10 +65,10 @@ def bm25_postings(
 ) -> DataFrame:
     """Inverted postings ``(id, term, tf, dl)`` — lowercased ASCII-
     whitespace terms (the shared ``lm_words`` convention), one shuffle."""
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
 
     base = _ensure_parallelism(
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(text_col).isNotNull()), SPREAD_MIN_BYTES
     ).select(F.col(id_col).alias("id"), lm_words(F.col(text_col)).alias("_ws"))
     toks = base.select(
         "id",

@@ -57,14 +57,14 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
       KMV, relative error ~1/sqrt(k-2)."""
     if not 2 <= k <= (1 << 20):
         raise ValueError(f"k must be in [2, 2^20], got {k}")
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
 
     space = 1 << KMV_SPACE_BITS
     # project the key column FIRST, then spread a single-split local
     # scan so the md5 pass runs at full width (narrow shuffle; no-op
     # on a cluster)
     mins = (
-        _ensure_parallelism(df.select(F.col(col)))
+        _ensure_parallelism(df.select(F.col(col)), SPREAD_MIN_BYTES)
         .select(kmv_hash_col(col).alias("h"))
         .distinct()
         .orderBy("h")
@@ -199,14 +199,16 @@ def heavy_hitter_tokens(
 ) -> DataFrame:
     """Heavy-hitter WORDS of a text corpus (lowercased ASCII-whitespace
     tokens, the shared ``lm_words`` convention): ``(term, cnt)``."""
-    from grokspark.operators.dedup import _ensure_parallelism
+    from grokspark.operators.dedup import SPREAD_MIN_BYTES, _ensure_parallelism
     from grokspark.operators.ngram_lm import lm_words
 
     # spread a single-split local scan: both Misra-Gries passes explode
     # from this plan, and one partition means one Arrow worker in pass
     # 1 (no-op on a cluster)
     toks = (
-        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        _ensure_parallelism(
+            df.filter(F.col(text_col).isNotNull()), SPREAD_MIN_BYTES
+        )
         .select(F.explode(lm_words(F.col(text_col))).alias("term"))
     )
     return heavy_hitters(toks, "term", phi_ppm=phi_ppm, k=k)
