@@ -175,8 +175,13 @@ class _Manifest:
     """Tiny JSON checkpoint: unit -> completion record. Atomic writes."""
 
     def __init__(self, path: str) -> None:
+        import threading
+
         self.path = path
         self.state: dict[str, dict] = {}
+        # concurrent units (ranged overlap, dead-letter back-fill) may
+        # mark from driver threads; serialize the read-modify-dump
+        self._lock = threading.Lock()
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 self.state = json.load(f)
@@ -186,11 +191,12 @@ class _Manifest:
         return rec if rec and rec.get("status") == "done" else None
 
     def mark(self, unit: str, **record) -> None:
-        self.state[unit] = {"status": "done", **record}
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self.state, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)
+        with self._lock:
+            self.state[unit] = {"status": "done", **record}
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(self.state, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
 
 
 def route_match_counts(
@@ -301,6 +307,7 @@ class GrokPipeline:
         # --- dead-letter: rows whose source has no route -----------------
         unit = "unroutable"
         rec = manifest.done(unit) if cfg.resume else None
+        dead_letter_job = None
         if rec:
             result.unroutable_count = rec["rows"]
             result.skipped_units.append(unit)
@@ -308,20 +315,42 @@ class GrokPipeline:
             unroutable = enriched.filter(F.col("route").isNull()).select(
                 "doc_id", "tokens", "n_tok", "source"
             )
-            if cfg.write_sinks:
-                n = self._commit(unroutable, unit, os.path.join(cfg.out_dir, "unroutable"))
-            else:
-                n = unroutable.count()
-            result.unroutable_count = n
-            manifest.mark(unit, rows=n)
+
+            def dead_letter_job() -> int:
+                if cfg.write_sinks:
+                    n = self._commit(
+                        unroutable, unit, os.path.join(cfg.out_dir, "unroutable")
+                    )
+                else:
+                    n = unroutable.count()
+                manifest.mark(unit, rows=n)
+                return n
 
         # --- per-pattern parse + route + sink -----------------------------
         nparts = cfg.parse_partitions or self.spark.sparkContext.defaultParallelism
         route_of = {r["pattern_name"]: r["route"] for r in self.routes}
 
         if cfg.single_pass and not cfg.per_pattern:
-            self._run_single_pass(enriched, nparts, manifest, result, route_of)
+            # the dead-letter unit is an independent scan+filter job —
+            # overlap it with the main single-pass write from a driver
+            # thread (guide-style back-fill; manifest marking is
+            # lock-serialized). Its paths (unroutable/) and result
+            # field are disjoint from the main unit's.
+            if dead_letter_job is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    fut = pool.submit(dead_letter_job)
+                    self._run_single_pass(
+                        enriched, nparts, manifest, result, route_of
+                    )
+                result.unroutable_count = fut.result()
+            else:
+                self._run_single_pass(enriched, nparts, manifest, result, route_of)
             return self._finish(result, t0)
+
+        if dead_letter_job is not None:
+            result.unroutable_count = dead_letter_job()
 
         for pattern_name in sorted(self.pattern_exprs):
             route = route_of[pattern_name]
