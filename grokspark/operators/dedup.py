@@ -418,19 +418,35 @@ def minhash_lsh_pairs(
         *_mask_aggs(),
         F.count(F.lit(1)).cast("int").alias("ng"),
     )
+    # fold the signature mins into their band hashes BEFORE the
+    # checkpoint: the downstream consumers need only the 64 band
+    # hashes + the 8 mask slots + ng, so the materialization carries
+    # 73 longs/doc instead of 137 (same band-hash VALUES — identical
+    # candidates) and the band projection becomes a plain posexplode
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select(
+        "id", "ng", *[f"b{i}" for i in range(_MASK_SLOTS)], *band_cols
+    )
     if materialize:
-        # one 50k-row-scale table feeds the band projection (read by
-        # both sides of the candidate self-join) AND the precheck
-        # tables — checkpoint it once so the explode + 128-min
-        # aggregate runs exactly once.
+        # one 50k-row-scale table feeds the band explode (read by both
+        # sides of the candidate self-join) AND the precheck tables —
+        # checkpoint it once so the explode + 128-min aggregate runs
+        # exactly once.
         sig = sig.localCheckpoint()
     use_broadcast = True
     if materialize and broadcast_max_docs is not None:
         use_broadcast = grams.count() <= broadcast_max_docs
-    banded = _band_buckets_from_sig(
-        sig.select("id", *[f"m{i}" for i in range(num_hashes)]),
-        num_hashes,
-        bands,
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"bh{b}") for b in range(bands)])
+        ).alias("band_id", "band_hash"),
     )
     # candidate self-join: explicit repartition pins the exchange at
     # the full shuffle width (narrow 24 B rows — AQE's byte-based
