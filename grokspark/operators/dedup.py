@@ -122,7 +122,11 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
     threshold). Quadratic within a block — pass ``block_col`` (e.g.
     lang, or an LSH bucket) to bound the pair space at scale."""
-    g = df.select(
+    # the theta-join (id_a < id_b) executes as a nested-loop join
+    # whose stream side inherits the scan's partitioning — spread a
+    # single-split local input or the whole quadratic verify runs on
+    # one core (measured 8.1 s -> <1 s at the gate sf)
+    g = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         ngrams(F.col(text_col), n).alias("grams"),
@@ -1034,7 +1038,9 @@ def embedding_cosine_pairs(
     """Embedding near-duplicate pairs by cosine >= threshold.
     Brute-force within a block (pass an LSH bucket / label as
     ``block_col`` at scale)."""
-    a = df.select(
+    # same stream-side spread rationale as jaccard_pairs: the
+    # interpreted cosine fold otherwise evaluates every pair on one core
+    a = _ensure_parallelism(df).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
