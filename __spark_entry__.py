@@ -1571,17 +1571,21 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grokspark.operators.corpus import prepare_corpus
 
     docs = _read(spark, sf_dir, "documents")
+    # r6: the pair graph is computed over the quality REPRESENTATIVES
+    # inside dedup_corpus rather than forwarded from the full-corpus
+    # _doc_pairs artifact — restriction-equivalence (dedup_corpus's
+    # precomputed_pairs contract) makes the outputs identical, but the
+    # rep set is ~27% smaller than the corpus and LSH candidate volume
+    # scales ~quadratically with it, so the build this query actually
+    # pays (the bench clears the shared cache per sample, and the
+    # sweep's sharing saved less than the oversized build cost) drops
+    # ~2x. The artifact-reuse pattern itself stays available via the
+    # precomputed_pairs parameter and the three dedup gate queries.
     packed = prepare_corpus(
         docs,
         max_len=CORPUS_MAX_LEN,
         n_buckets=CORPUS_BUCKETS,
         n_merges=CORPUS_MERGES,
-        # cross-job artifact reuse: the session's full-corpus pair
-        # graph (same threshold/n/bands) restricted to the quality
-        # reps equals recomputing over them — see dedup_corpus's
-        # precomputed_pairs contract. The bench clears this cache per
-        # sample so its corpus_prepare numbers stay full-build.
-        precomputed_pairs=_doc_pairs(spark, sf_dir),
     )
     return packed.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_packs"),
