@@ -157,27 +157,49 @@ def prepare_corpus(
     merges = train_bpe_py(counts, n_merges)
     vocab = bpe_vocab(counts, merges)
 
-    tokenized = apply_bpe_ids(kept, merges, vocab, text_col, out_col="_tok")
     # ONE grouped pack over (split, bucket) instead of a per-split
     # pack_sequences loop: packing is a per-(split, bucket)-group
-    # function either way (same rows, same greedy-by-id order, same
-    # pack_id = "<bucket>#<i>" numbering), so the output is
-    # bit-identical — but this runs one shuffle + one Arrow stage and
-    # executes the upstream BPE tokenize once, where the loop ran
-    # three filtered jobs that each re-tokenized the corpus
-    keyed = tokenized.select(
+    # function either way (same rows, same greedy-by-id order — the
+    # packer sorts its group internally — same pack_id = "<bucket>#<i>"
+    # numbering), so the output is bit-identical. BPE encoding happens
+    # INSIDE the pack stage (one Python stage, one JVM<->Python Arrow
+    # boundary) rather than as a separate Arrow tokenize stage: the
+    # shuffle carries text (~the same bytes as the token ids) and the
+    # merge table ships once per task via closure; per-word memoization
+    # makes the encode itself negligible (token streams identical —
+    # same merges, same vocab, deterministic encode_word).
+    keyed = kept.select(
         "split",
         pack_bucket_col(id_col, n_buckets).alias("bucket"),
         F.col(id_col).cast("string").alias("_id"),
-        F.col("_tok").alias("_tokens"),
+        F.col(text_col).alias("_text"),
     )
 
     import pandas as pd
 
+    merges_local = list(merges)
+    vocab_local = dict(vocab)
+
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ranks = {p: i for i, p in enumerate(merges_local)}
+        memo: dict[str, list[int]] = {}
+
+        def ids_of(t) -> list[int]:
+            out: list[int] = []
+            for w in pretokenize(t):
+                if w not in memo:
+                    memo[w] = [
+                        vocab_local.get(s, 0) for s in encode_word(w, ranks)
+                    ]
+                out.extend(memo[w])
+            return out
+
         split = pdf["split"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
-        packs = pack_sequences_py(zip(pdf["_id"], pdf["_tokens"]), max_len)
+        packs = pack_sequences_py(
+            ((i, ids_of(t)) for i, t in zip(pdf["_id"], pdf["_text"])),
+            max_len,
+        )
         return pd.DataFrame(
             {
                 "split": split,
